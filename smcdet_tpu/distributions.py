@@ -1,0 +1,183 @@
+"""Numerics-core distributions (layer L1).
+
+TPU-native (JAX) equivalents of the reference's custom torch distributions
+(/root/reference/smcdet/distributions.py:5-89):
+
+- ``DiscreteUniform``        — integer-uniform count prior.
+- ``TruncatedDiagonalMVN``   — box-truncated diagonal normal via CDF
+  inverse-transform sampling; the workhorse proposal distribution of the
+  mutation kernels.
+- ``TruncatedPareto``        — bounded Pareto with closed-form inverse-CDF
+  sampling; the M71 flux-mark prior.
+
+Design notes (TPU-first):
+- Everything is a pure function of explicit ``jax.random`` keys; no global
+  RNG state.
+- The truncated-normal sample/log-prob paths are also exposed as free
+  functions (``truncated_normal_sample`` / ``truncated_normal_log_prob``)
+  because they sit inside the hottest loop (one proposal per MH sweep per
+  particle) and are called with fused elementwise math under ``jit``.
+- Distribution objects are registered as flax pytree dataclasses so they can
+  be passed through ``jit`` / ``vmap`` / ``shard_map`` boundaries with their
+  parameters as leaves.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.scipy.special import ndtr, ndtri
+
+__all__ = [
+    "DiscreteUniform",
+    "TruncatedDiagonalMVN",
+    "TruncatedPareto",
+    "truncated_normal_sample",
+    "truncated_normal_log_prob",
+]
+
+_UNIFORM_EPS = 1e-6
+
+
+def _normal_log_prob(value, mu, sigma):
+    z = (value - mu) / sigma
+    return -0.5 * z * z - jnp.log(sigma) - 0.5 * jnp.log(2.0 * jnp.pi)
+
+
+def truncated_normal_sample(key, mu, sigma, lb, ub, shape=None):
+    """Inverse-CDF sample from a normal truncated to ``[lb, ub]``.
+
+    Matches the reference numerics (distributions.py:40-48): the base uniform
+    is clamped to ``[1e-6, 1 - 1e-6]``, the transformed CDF value is clamped
+    again, and the result is clamped into the box.
+
+    All of ``mu, sigma, lb, ub`` broadcast against ``shape`` (defaults to the
+    broadcasted parameter shape).
+    """
+    if shape is None:
+        shape = jnp.broadcast_shapes(
+            jnp.shape(mu), jnp.shape(sigma), jnp.shape(lb), jnp.shape(ub)
+        )
+    p = jax.random.uniform(
+        key, shape, minval=_UNIFORM_EPS, maxval=1.0 - _UNIFORM_EPS
+    )
+    cdf_lb = ndtr((lb - mu) / sigma)
+    cdf_ub = ndtr((ub - mu) / sigma)
+    p_tilde = jnp.clip(
+        cdf_lb + p * (cdf_ub - cdf_lb), _UNIFORM_EPS, 1.0 - _UNIFORM_EPS
+    )
+    x = mu + sigma * ndtri(p_tilde)
+    return jnp.clip(x, lb, ub)
+
+
+def truncated_normal_log_prob(value, mu, sigma, lb, ub):
+    """Log-density of a normal truncated to ``[lb, ub]``.
+
+    ``log N(value; mu, sigma) - log(Phi(ub) - Phi(lb))`` with the mass term
+    nan-guarded like the reference (distributions.py:35).
+    """
+    prob_in_box = ndtr((ub - mu) / sigma) - ndtr((lb - mu) / sigma)
+    log_prob_in_box = jnp.nan_to_num(
+        jnp.log(prob_in_box), neginf=0.0, posinf=0.0, nan=0.0
+    )
+    return _normal_log_prob(value, mu, sigma) - log_prob_in_box
+
+
+@struct.dataclass
+class DiscreteUniform:
+    """Uniform distribution over the integers ``{low, ..., high}``.
+
+    Parity: /root/reference/smcdet/distributions.py:5-19.
+    """
+
+    low: int = struct.field(pytree_node=False)
+    high: int = struct.field(pytree_node=False)
+
+    def sample(self, key, shape=()):
+        return jax.random.randint(key, shape, self.low, self.high + 1)
+
+    def log_prob(self, value):
+        value = jnp.asarray(value)
+        in_support = (value >= self.low) & (value <= self.high)
+        logp = -jnp.log(float(self.high - self.low + 1))
+        return jnp.where(in_support, logp, -jnp.inf)
+
+
+@struct.dataclass
+class TruncatedDiagonalMVN:
+    """Diagonal normal truncated to the box ``[lb, ub]`` (elementwise).
+
+    Parity: /root/reference/smcdet/distributions.py:22-58. The log_prob is
+    per-dimension (like the torch version, which relies on broadcasting and
+    later sums); ``cdf`` reproduces the reference's (idiosyncratic) product
+    form used nowhere in the hot path.
+    """
+
+    mu: jax.Array
+    sigma: jax.Array
+    lb: jax.Array
+    ub: jax.Array
+
+    def sample(self, key, shape=None):
+        return truncated_normal_sample(
+            key, self.mu, self.sigma, self.lb, self.ub, shape
+        )
+
+    def log_prob(self, value):
+        return truncated_normal_log_prob(
+            value, self.mu, self.sigma, self.lb, self.ub
+        )
+
+    def cdf(self, value):
+        cdf_at_val = ndtr((value - self.mu) / self.sigma)
+        cdf_at_lb = ndtr((self.lb - self.mu) / self.sigma)
+        prob_in_box = ndtr((self.ub - self.mu) / self.sigma) - cdf_at_lb
+        log_prob_in_box = jnp.nan_to_num(
+            jnp.log(prob_in_box), neginf=0.0, posinf=0.0, nan=0.0
+        )
+        log_cdf = jnp.log(cdf_at_val - cdf_at_lb + 1e-9).sum(-1) - (
+            log_prob_in_box.sum(-1)
+        )
+        return jnp.exp(log_cdf)
+
+
+@struct.dataclass
+class TruncatedPareto:
+    """Pareto distribution truncated to ``[lower, upper]``.
+
+    Closed-form inverse-CDF sampling and log-pdf. Parity:
+    /root/reference/smcdet/distributions.py:61-89 and
+    https://en.wikipedia.org/wiki/Pareto_distribution#Bounded_Pareto_distribution.
+    """
+
+    alpha: jax.Array
+    lower: jax.Array
+    upper: jax.Array
+
+    @property
+    def logpdf_norm_const(self):
+        alpha = jnp.asarray(self.alpha)
+        lower = jnp.asarray(self.lower)
+        upper = jnp.asarray(self.upper)
+        return (
+            jnp.log(alpha)
+            + alpha * jnp.log(lower)
+            + alpha * jnp.log(upper)
+            - jnp.log(upper**alpha - lower**alpha)
+        )
+
+    def sample(self, key, shape=()):
+        alpha = jnp.asarray(self.alpha)
+        lower = jnp.asarray(self.lower)
+        upper = jnp.asarray(self.upper)
+        unif = jax.random.uniform(key, shape)
+        ua = upper**alpha
+        la = lower**alpha
+        numerator = ua - unif * ua + unif * la
+        denominator = la * ua
+        return (numerator / denominator) ** (-1.0 / alpha)
+
+    def log_prob(self, value):
+        alpha = jnp.asarray(self.alpha)
+        return self.logpdf_norm_const - (alpha + 1.0) * jnp.log(value)

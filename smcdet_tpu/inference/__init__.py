@@ -1,0 +1,13 @@
+from smcdet_tpu.inference.kernels import (  # noqa: F401
+    SingleComponentMALA,
+    SingleComponentMH,
+    TargetContext,
+)
+from smcdet_tpu.inference.smc import (  # noqa: F401
+    SMCConfig,
+    SMCResult,
+    SMCSampler,
+    SMCsampler,
+    run_csmc,
+    tile_image,
+)

@@ -1,0 +1,419 @@
+"""Count-stratified SMC sampler (CS-SMC), layer L3.
+
+TPU-native re-design of /root/reference/smcdet/sampler.py:9-298.
+
+Key architectural changes vs the reference:
+
+- The ``while any(temperature < 1)`` python loop with host-side
+  ``scipy.brentq`` tempering (sampler.py:99-125, :230) becomes a single
+  jitted ``lax.while_loop`` with vectorised on-device bisection
+  (ops/tempering.py). No host sync anywhere in the sampler.
+- Count strata live on a dense leading axis ``[T, C, N, ...]`` with
+  per-stratum weights, ESS, and log-normalising constants, fixing the
+  reference's API skew where ``Aggregate`` expects per-count normalising
+  constants that the current ``SMCsampler`` no longer produces (see
+  SURVEY.md §1). With a single stratum (the configuration used by all
+  current reference experiments: ``min_objects == max_objects``) this
+  reduces exactly to the reference sampler.
+- Tiles are a flat leading axis ``[T, ...]``; every operation is
+  tile-elementwise, so the whole sampler shards over a
+  ``jax.sharding.Mesh`` tile axis with zero communication (one scalar
+  ``any()`` reduction per SMC iteration for the loop condition).
+- Finished tiles (``temperature == 1``) are frozen: their particles stop
+  changing, making per-tile results independent of which other tiles share
+  the batch/shard. (The reference keeps mutating finished tiles —
+  statistically harmless, but it makes results depend on co-scheduled
+  tiles; freezing is required for sharded == unsharded determinism.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from smcdet_tpu.inference.kernels import TargetContext
+from smcdet_tpu.ops.catalogs import prune_catalog, slot_mask
+from smcdet_tpu.ops.resampling import gather_particles, resample_indices
+from smcdet_tpu.ops.tempering import solve_tempering_step
+
+__all__ = ["SMCConfig", "SMCState", "SMCResult", "run_csmc", "SMCSampler", "SMCsampler"]
+
+
+@struct.dataclass
+class SMCConfig:
+    num_catalogs: int = struct.field(pytree_node=False)
+    ess_threshold_prop: float = struct.field(pytree_node=False, default=0.5)
+    resample_method: str = struct.field(
+        pytree_node=False, default="multinomial"
+    )
+    max_smc_iters: int = struct.field(pytree_node=False, default=100)
+    flux_detection_threshold: float = 0.0
+    # Print temperature/acceptance ranges every k iterations (0 = silent),
+    # mirroring sampler.py:233-242 via jax.debug.print.
+    print_every: int = struct.field(pytree_node=False, default=0)
+
+
+class SMCState(NamedTuple):
+    key: jax.Array
+    locs: jax.Array  # [T, C, N, M, 2]
+    fluxes: jax.Array  # [T, C, N, M]
+    temperature: jax.Array  # [T]
+    temperature_prev: jax.Array  # [T]
+    loglik: jax.Array  # [T, C, N]
+    weights: jax.Array  # [T, C, N] within-stratum (normalised over N)
+    log_z: jax.Array  # [T, C] per-stratum log normalising constant
+    ess: jax.Array  # [T, C]
+    acc_rate: jax.Array  # [T]
+    iteration: jax.Array  # scalar i32
+
+
+class SMCResult(NamedTuple):
+    """Final particle system (after the terminal resample) + diagnostics."""
+
+    counts: jax.Array  # [T, C*N] stratum count of each particle
+    locs: jax.Array  # [T, C*N, M, 2]
+    fluxes: jax.Array  # [T, C*N, M]
+    pruned_counts: jax.Array  # [T, C*N] detectable in-bounds sources
+    pruned_locs: jax.Array  # [T, C*N, M, 2]
+    pruned_fluxes: jax.Array  # [T, C*N, M]
+    weights: jax.Array  # [T, C*N] flat posterior weights
+    weights_intracount: jax.Array  # [T, C, N]
+    log_normalizing_constant: jax.Array  # [T, C]
+    temperature: jax.Array  # [T]
+    ess: jax.Array  # [T, C]
+    num_iters: jax.Array  # scalar
+    acc_rate: jax.Array  # [T]
+
+
+def _context(prior, model, images, temperature):
+    """Per-tile tempered-target context with broadcast-ready shapes."""
+    return TargetContext(
+        prior=prior,
+        model=model,
+        image=images[:, None, None],  # [T, 1, 1, H, W]
+        temperature=temperature[:, None, None],  # [T, 1, 1]
+    )
+
+
+def _temper_and_reweight(prior, model, images, cfg, strata, state):
+    """Adaptive tempering + incremental weight/logZ/ESS update.
+
+    Parity: sampler.py:99-125 (temper; likelihood recomputed in full, which
+    also resets any drift in the mutation kernel's incremental caches) and
+    :181-196 (update_weights), per count stratum, with the per-tile step
+    taken as the minimum over strata (the rule aggregate.py:140-174 uses).
+    """
+    T, C, N = state.loglik.shape
+    done = state.temperature >= 1.0
+
+    loglik = model.loglikelihood(
+        images[:, None, None], state.locs, state.fluxes
+    )  # [T, C, N]
+
+    ess_target = cfg.ess_threshold_prop * N
+    delta_c = solve_tempering_step(
+        loglik, state.temperature[:, None], ess_target
+    )  # [T, C]
+    delta = jnp.where(done, 0.0, delta_c.min(-1))  # [T]
+
+    temperature_prev = state.temperature
+    temperature = jnp.clip(state.temperature + delta, 0.0, 1.0)
+
+    w_log = jnp.nan_to_num(
+        delta[:, None, None] * loglik, nan=-jnp.inf, neginf=-jnp.inf
+    )  # [T, C, N]
+    m = w_log.max(-1)
+    shifted = jnp.exp(w_log - m[..., None])
+    s = shifted.sum(-1)
+    weights = shifted / s[..., None]
+    ess = 1.0 / (weights**2).sum(-1)
+    log_z = state.log_z + jnp.where(done[:, None], 0.0, m + jnp.log(s / N))
+
+    # Frozen tiles keep their previous weights/ess (their delta is 0, which
+    # would otherwise reset weights to uniform — the reference's behaviour —
+    # but freezing keeps the last informative weights for the final sample).
+    keep = done[:, None, None]
+    weights = jnp.where(keep, state.weights, weights)
+    ess = jnp.where(done[:, None], state.ess, ess)
+
+    return state._replace(
+        temperature=temperature,
+        temperature_prev=temperature_prev,
+        loglik=jnp.where(keep, state.loglik, loglik),
+        weights=weights,
+        log_z=log_z,
+        ess=ess,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_tiles_h", "num_tiles_w", "tile_dim"),
+)
+def tile_image(image, num_tiles_h: int, num_tiles_w: int, tile_dim: int):
+    """Non-overlapping tiling: ``[imH, imW] -> [Th*Tw, tile, tile]``
+    (the reference's double ``unfold``, sampler.py:29-31)."""
+    tiles = image.reshape(num_tiles_h, tile_dim, num_tiles_w, tile_dim)
+    return tiles.transpose(0, 2, 1, 3).reshape(-1, tile_dim, tile_dim)
+
+
+def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
+    """Run count-stratified SMC on a batch of tiles ``images [T, h, w]``.
+
+    The full temper→resample→mutate→reweight loop runs on device inside one
+    ``lax.while_loop`` (call under ``jit``; see ``SMCSampler`` for the
+    user-facing wrapper). Call stack parity: sampler.py:221-256.
+    """
+    T = images.shape[0]
+    N = cfg.num_catalogs
+    C = prior.num_counts
+
+    # ------------------------------------------------------------------
+    # initialize (sampler.py:57-85)
+    # ------------------------------------------------------------------
+    key, k_init = jax.random.split(key)
+    strata, locs, fluxes = prior.sample_stratified(k_init, N, batch_shape=(T,))
+    counts_b = jnp.broadcast_to(strata[None, :, None], (T, C, N))
+
+    state = SMCState(
+        key=key,
+        locs=locs,
+        fluxes=fluxes,
+        temperature=jnp.zeros(T),
+        temperature_prev=jnp.zeros(T),
+        loglik=jnp.zeros((T, C, N)),
+        weights=jnp.full((T, C, N), 1.0 / N),
+        # CS-SMC stratum seeds: log p(count = c) renormalised over the
+        # stratum support, so softmax(log_z) is the posterior count pmf.
+        log_z=jnp.broadcast_to(
+            prior.count_log_prob_truncated(strata)[None, :], (T, C)
+        ),
+        ess=jnp.full((T, C), float(N)),
+        acc_rate=jnp.zeros(T),
+        iteration=jnp.asarray(0, dtype=jnp.int32),
+    )
+    state = _temper_and_reweight(prior, model, images, cfg, strata, state)
+
+    # ------------------------------------------------------------------
+    # temper/resample/mutate loop (sampler.py:230-247)
+    # ------------------------------------------------------------------
+    def cond(state):
+        return jnp.any(state.temperature < 1.0) & (
+            state.iteration < cfg.max_smc_iters
+        )
+
+    def body(state):
+        key, k_res, k_mut = jax.random.split(state.key, 3)
+        done = state.temperature >= 1.0
+
+        # resample within each stratum (sampler.py:127-169)
+        idx = resample_indices(
+            k_res, state.weights, N, cfg.resample_method
+        )  # [T, C, N]
+        locs, fluxes, loglik = gather_particles(
+            idx, state.locs, state.fluxes, state.loglik, particle_axis=2
+        )
+        keep = done[:, None, None]
+        locs = jnp.where(keep[..., None, None], state.locs, locs)
+        fluxes = jnp.where(keep[..., None], state.fluxes, fluxes)
+        weights = jnp.where(keep, state.weights, 1.0 / N)
+
+        # mutate (sampler.py:171-179 → kernel.run)
+        ctx = _context(prior, model, images, state.temperature)
+        kstate, acc_rate = kernel.run(k_mut, ctx, counts_b, locs, fluxes)
+        locs = jnp.where(keep[..., None, None], state.locs, kstate.locs)
+        fluxes = jnp.where(keep[..., None], state.fluxes, kstate.fluxes)
+        acc_tile = acc_rate.mean(-1)  # [T]
+
+        state = state._replace(
+            key=key,
+            locs=locs,
+            fluxes=fluxes,
+            weights=weights,
+            acc_rate=jnp.where(done, state.acc_rate, acc_tile),
+            iteration=state.iteration + 1,
+        )
+        state = _temper_and_reweight(prior, model, images, cfg, strata, state)
+
+        if cfg.print_every:
+            jax.lax.cond(
+                state.iteration % cfg.print_every == 0,
+                lambda: jax.debug.print(
+                    "iteration {i}: temperature in [{tlo:.2f}, {thi:.2f}], "
+                    "acceptance rate in [{alo:.2f}, {ahi:.2f}]",
+                    i=state.iteration,
+                    tlo=state.temperature.min(),
+                    thi=state.temperature.max(),
+                    alo=state.acc_rate.min(),
+                    ahi=state.acc_rate.max(),
+                ),
+                lambda: None,
+            )
+        return state
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    # ------------------------------------------------------------------
+    # final resample + prune (sampler.py:249-252)
+    # ------------------------------------------------------------------
+    key, k_final = jax.random.split(state.key)
+    idx = resample_indices(k_final, state.weights, N, cfg.resample_method)
+    locs, fluxes = gather_particles(
+        idx, state.locs, state.fluxes, particle_axis=2
+    )
+
+    M = locs.shape[-2]
+    flat_counts = jnp.broadcast_to(strata[None, :, None], (T, C, N)).reshape(
+        T, C * N
+    )
+    flat_locs = locs.reshape(T, C * N, M, 2)
+    flat_fluxes = fluxes.reshape(T, C * N, M)
+
+    pruned_counts, pruned_locs, pruned_fluxes = prune_catalog(
+        flat_locs,
+        flat_fluxes,
+        height=model.height,
+        width=model.width,
+        flux_threshold=cfg.flux_detection_threshold,
+        mask=slot_mask(flat_counts, M),
+    )
+
+    # Flat posterior weights: P(count stratum) x within-stratum weight
+    # (uniform after the final resample).
+    count_pmf = jax.nn.softmax(state.log_z, axis=-1)  # [T, C]
+    flat_weights = jnp.broadcast_to(
+        count_pmf[..., None] / N, (T, C, N)
+    ).reshape(T, C * N)
+
+    return SMCResult(
+        counts=flat_counts,
+        locs=flat_locs,
+        fluxes=flat_fluxes,
+        pruned_counts=pruned_counts,
+        pruned_locs=pruned_locs,
+        pruned_fluxes=pruned_fluxes,
+        weights=flat_weights,
+        weights_intracount=jnp.full((T, C, N), 1.0 / N),
+        log_normalizing_constant=state.log_z,
+        temperature=state.temperature,
+        ess=state.ess,
+        num_iters=state.iteration,
+        acc_rate=state.acc_rate,
+    )
+
+
+class SMCSampler:
+    """User-facing wrapper mirroring the reference ``SMCsampler`` API
+    (sampler.py:9-298): tile the image, run CS-SMC, expose posterior
+    summaries. All heavy lifting happens in the jitted ``run_csmc``."""
+
+    def __init__(
+        self,
+        image,
+        tile_dim,
+        Prior,
+        ImageModel,
+        MutationKernel,
+        num_catalogs,
+        ess_threshold_prop=0.5,
+        resample_method="multinomial",
+        flux_detection_threshold=0.0,
+        max_smc_iters=100,
+        print_every=0,
+    ):
+        self.image = jnp.asarray(image, dtype=jnp.float32)
+        self.image_height, self.image_width = self.image.shape
+        self.tile_dim = tile_dim
+        self.num_tiles_h = self.image_height // tile_dim
+        self.num_tiles_w = self.image_width // tile_dim
+        self.tiled_image = tile_image(
+            self.image, self.num_tiles_h, self.num_tiles_w, tile_dim
+        )
+        self.prior = Prior
+        self.image_model = ImageModel
+        self.kernel = MutationKernel
+        self.config = SMCConfig(
+            num_catalogs=num_catalogs,
+            ess_threshold_prop=ess_threshold_prop,
+            resample_method=resample_method,
+            max_smc_iters=max_smc_iters,
+            flux_detection_threshold=flux_detection_threshold,
+            print_every=print_every,
+        )
+        self.result: SMCResult | None = None
+
+    def run(self, key=None, devices=None) -> SMCResult:
+        """Run the sampler. ``devices``: optional list for a tile-sharded
+        mesh (see parallel/sharding.py); default single-device jit."""
+        if key is None:
+            key = jax.random.key(0)
+        run = jax.jit(run_csmc, static_argnames=())
+        if devices is not None:
+            from smcdet_tpu.parallel.sharding import shard_tiles_jit
+
+            run = shard_tiles_jit(run_csmc, devices)
+        self.result = run(
+            key,
+            self.tiled_image,
+            self.prior,
+            self.image_model,
+            self.kernel,
+            self.config,
+        )
+        return self.result
+
+    # -- posterior summaries (sampler.py:258-298) -----------------------
+    @property
+    def has_run(self):
+        return self.result is not None
+
+    def posterior_mean_count(self, counts=None):
+        r = self.result
+        c = r.pruned_counts if counts is None else counts
+        return (r.weights * c).sum(-1)
+
+    def posterior_mean_total_flux(self, fluxes=None):
+        r = self.result
+        f = r.fluxes if fluxes is None else fluxes
+        return (r.weights * f.sum(-1)).sum(-1)
+
+    def posterior_predictive_total_observed_flux(self, key):
+        r = self.result
+        img = self.image_model.sample(key, r.locs, r.fluxes)
+        return img.sum((-2, -1))
+
+    def summarize(self):
+        if not self.has_run:
+            raise ValueError("Sampler hasn't been run yet.")
+        import numpy as np
+
+        r = self.result
+        pc = np.asarray(r.pruned_counts)
+        print(
+            "posterior distribution of number of detectable stars within "
+            "image boundary:"
+        )
+        vals, cnts = np.unique(pc, return_counts=True)
+        print(vals)
+        print(np.round(cnts / pc.shape[-1], 3), "\n")
+        print(
+            "posterior mean total intrinsic flux (including undetectable "
+            f"and/or in padding) = {np.asarray(self.posterior_mean_total_flux())}\n"
+        )
+        print(
+            "posterior mean total intrinsic flux of detectable stars within "
+            "image boundary = "
+            f"{np.asarray(self.posterior_mean_total_flux(r.pruned_fluxes))}\n"
+        )
+        print(
+            "number of unique catalogs =",
+            np.unique(np.asarray(r.fluxes[0].sum(-1))).shape[0],
+        )
+
+
+# Reference spelling.
+SMCsampler = SMCSampler

@@ -1,0 +1,123 @@
+"""Headline benchmark: single-component particle updates per second.
+
+Workload mirrors the reference's M71 configuration
+(/root/reference/experiments/m71/run_smc.py:49-96; manuscript.tex:560-568):
+8x8-pixel tiles, SDSS-style PSF radius 8, truncated-Pareto fluxes, count
+strata s in {0..6}, 100 MH sweeps per SMC iteration. The reference achieves
+~20-60 s per tile at N=10,000 catalogs/count on an RTX 2080 Ti — of order
+6e6 single-component proposal updates per second (BASELINE.md "derived
+throughput estimate"). We count the same quantity: one update = one
+single-component MH proposal (propose + incremental re-render + accept) for
+one catalog, i.e. ``tiles x strata x catalogs_per_stratum x mh_sweeps x
+smc_iterations / wall_seconds``.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_UPDATES_PER_SEC = 6.0e6  # BASELINE.md derived estimate (RTX 2080 Ti)
+
+
+def build_problem(num_tiles=16, num_catalogs=2048, mh_steps=100, max_smc_iters=100):
+    from smcdet_tpu.inference.kernels import SingleComponentMH
+    from smcdet_tpu.inference.smc import SMCConfig
+    from smcdet_tpu.models.imaging import M71ImageModel
+    from smcdet_tpu.models.priors import M71Prior
+    from smcdet_tpu.models.simulate import generate_images
+
+    tile = 8
+    # Fitted M71 hyperparameters (BASELINE.md; manuscript.tex:564).
+    prior = M71Prior(
+        min_objects=0,
+        max_objects=6,
+        counts_rate=0.03,
+        image_height=tile,
+        image_width=tile,
+        flux_alpha=0.214,
+        flux_lower=0.252,
+        flux_upper=1804.679,
+        pad=1.0,
+    )
+    model = M71ImageModel(
+        image_height=tile,
+        image_width=tile,
+        background=179.0,
+        adu_per_nmgy=155.0,
+        psf_params=(1.33, 4.82, 3.15, 3.0, 0.06, 0.002),
+        psf_radius=8,
+        noise_additive=0.0,
+        noise_multiplicative=1.94,
+    )
+    kernel = SingleComponentMH(
+        num_iters=mh_steps,
+        locs_stdev=jnp.float32(0.25),
+        fluxes_stdev=jnp.float32(5.0),
+        fluxes_min=jnp.float32(0.252),
+        fluxes_max=jnp.float32(1804.679),
+    )
+    cfg = SMCConfig(
+        num_catalogs=num_catalogs,
+        ess_threshold_prop=0.5,
+        resample_method="systematic",
+        max_smc_iters=max_smc_iters,
+        flux_detection_threshold=0.7,
+    )
+    sim = generate_images(
+        jax.random.key(7),
+        prior,
+        model,
+        flux_threshold=0.7,
+        loc_threshold_lower=0.0,
+        loc_threshold_upper=float(tile),
+        num_images=num_tiles,
+    )
+    return sim.images, prior, model, kernel, cfg
+
+
+def main():
+    from smcdet_tpu.inference.smc import run_csmc
+
+    num_tiles, num_catalogs, mh_steps = 16, 2048, 100
+    images, prior, model, kernel, cfg = build_problem(
+        num_tiles=num_tiles, num_catalogs=num_catalogs, mh_steps=mh_steps
+    )
+
+    run = jax.jit(run_csmc)
+    # Warm-up / compile.
+    result = run(jax.random.key(0), images, prior, model, kernel, cfg)
+    jax.block_until_ready(result)
+
+    start = time.perf_counter()
+    result = run(jax.random.key(1), images, prior, model, kernel, cfg)
+    jax.block_until_ready(result)
+    elapsed = time.perf_counter() - start
+
+    smc_iters = int(result.num_iters)
+    C = prior.num_counts
+    updates = num_tiles * C * num_catalogs * mh_steps * smc_iters
+    updates_per_sec = updates / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "single-component particle updates/sec (M71 config, "
+                f"{num_tiles} tiles, N={num_catalogs}/stratum, C={C}, "
+                f"{mh_steps} MH sweeps/iter, {smc_iters} SMC iters, "
+                f"{elapsed:.2f}s)",
+                "value": updates_per_sec,
+                "unit": "updates/sec",
+                "vs_baseline": updates_per_sec / REFERENCE_UPDATES_PER_SEC,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

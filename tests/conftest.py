@@ -17,4 +17,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The env var alone is not enough on this image: the TPU platform plugin
+# overrides JAX_PLATFORMS at import time, silently moving "CPU" tests onto
+# the real chip (and its tunnel latency). The config update wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

@@ -48,8 +48,8 @@ class TestSampling:
         strata, locs, fluxes = prior.sample_stratified(jax.random.key(1), 16)
         assert strata.shape == (4,)
         np.testing.assert_array_equal(np.asarray(strata), [1, 2, 3, 4])
-        assert locs.shape == (4, 16, 8, 2)
-        assert fluxes.shape == (4, 16, 8)
+        assert locs.shape == (4, 16, 4, 2)
+        assert fluxes.shape == (4, 16, 4)
         f = np.asarray(fluxes)
         for c in range(4):
             assert (f[c, :, : c + 1] > 0).all()
@@ -168,7 +168,7 @@ class TestLogProb:
         counts = jnp.asarray([2], dtype=jnp.int32)
         locs = jnp.asarray([[[1.0, 2.0], [3.0, 4.0]]])
         fluxes = jnp.asarray([[1000.0, 1100.0]])
-        lp = float(prior.log_prob(counts, locs, fluxes))
+        lp = float(prior.log_prob(counts, locs, fluxes)[0])
         import scipy.stats as st
 
         expected = (

@@ -8,6 +8,6 @@ incremental likelihood caching, and tile parallelism over a
 ``jax.sharding.Mesh``.
 """
 
-from smcdet_tpu import distributions, models, ops  # noqa: F401
+from smcdet_tpu import distributions, metrics, models, ops, utils  # noqa: F401
 
 __version__ = "0.1.0"

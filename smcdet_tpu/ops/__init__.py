@@ -1,3 +1,7 @@
+from smcdet_tpu.ops.assignment import (  # noqa: F401
+    linear_sum_assignment,
+    pad_cost_matrix,
+)
 from smcdet_tpu.ops.catalogs import (  # noqa: F401
     compact_catalog,
     prune_catalog,

@@ -1,0 +1,226 @@
+"""Plain Metropolis-Hastings baseline sampler (layer L3).
+
+TPU-native re-design of the reference ``MHsampler``
+(/root/reference/smcdet/sampler.py:301-577): a saturated-model MCMC chain —
+every one of the ``max_objects`` slots is permanently active and the
+posterior number of *detectable* stars emerges from pruning (flux threshold
++ in-bounds), exactly like the reference (:341-346, :397-418).
+
+Architectural changes:
+
+- The 50,000-iteration python loop (:424) becomes a ``lax.scan``. Burn-in
+  and thinning happen *inside* the scan (an outer scan of ``num_kept``
+  steps, each advancing ``keep_every_k`` sweeps), so the kept chain
+  ``[T, K, M, ...]`` is the only thing ever materialised — the reference
+  allocates the full pre-thin chain up front (:341-359).
+- One chain per tile, batched over all tiles as ``[T, 1, M]`` particle
+  arrays, sharing the incremental single-component sweep of the SMC
+  mutation kernel (inference/kernels.py) with temperature 1 — one
+  single-star re-render per step instead of the reference's full
+  ``max_objects``-star re-render (:462-508).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from smcdet_tpu.inference.kernels import (
+    SingleComponentMH,
+    TargetContext,
+    init_kernel_state,
+)
+from smcdet_tpu.inference.smc import tile_image
+from smcdet_tpu.ops.catalogs import prune_catalog, slot_mask
+
+__all__ = ["MCMCConfig", "MCMCResult", "run_mh", "MHSampler", "MHsampler"]
+
+
+@struct.dataclass
+class MCMCConfig:
+    num_samples_total: int = struct.field(pytree_node=False)
+    num_samples_burnin: int = struct.field(pytree_node=False)
+    keep_every_k: int = struct.field(pytree_node=False, default=1)
+    flux_detection_threshold: float = 0.0
+
+
+class MCMCResult(NamedTuple):
+    counts: jax.Array  # [T, K] (saturated: == max_objects)
+    locs: jax.Array  # [T, K, M, 2]
+    fluxes: jax.Array  # [T, K, M]
+    pruned_counts: jax.Array  # [T, K]
+    pruned_locs: jax.Array  # [T, K, M, 2]
+    pruned_fluxes: jax.Array  # [T, K, M]
+    acc_rate: jax.Array  # [T]
+
+
+def run_mh(key, images, prior, model, kernel: SingleComponentMH, cfg) -> MCMCResult:
+    """Run one saturated MH chain per tile; ``images``: ``[T, h, w]``.
+
+    The kept sample indices are ``arange(burnin, total, keep_every_k)``
+    (reference ``burn_thin_idx``, sampler.py:337-339).
+    """
+    T = images.shape[0]
+    M = prior.max_objects
+    counts = jnp.full((T, 1), M, dtype=jnp.int32)
+
+    key, k_init = jax.random.split(key)
+    locs, fluxes = prior.sample_marks(k_init, counts, (T, 1))
+
+    ctx = TargetContext(
+        prior=prior,
+        model=model,
+        image=images[:, None],  # [T, 1, H, W]
+        temperature=jnp.ones((T, 1)),
+    )
+    state = init_kernel_state(ctx, counts, locs, fluxes)
+
+    def sweep_step(carry, k):
+        st, acc_n = carry
+        st, accept = kernel.sweep(k, ctx, counts, st)
+        return (st, acc_n + accept.astype(jnp.float32)), None
+
+    # Burn-in: advance without recording.
+    nb = cfg.num_samples_burnin
+    key, k_burn = jax.random.split(key)
+    (state, acc_n), _ = jax.lax.scan(
+        sweep_step,
+        (state, jnp.zeros((T, 1))),
+        jax.random.split(k_burn, nb),
+        length=nb,
+    )
+
+    # Sampling: record every keep_every_k-th state.
+    num_kept = max(
+        0,
+        -(-(cfg.num_samples_total - cfg.num_samples_burnin) // cfg.keep_every_k),
+    )
+
+    def kept_step(carry, k):
+        (st, acc_n), _ = jax.lax.scan(
+            sweep_step, carry, jax.random.split(k, cfg.keep_every_k)
+        )
+        return (st, acc_n), (st.locs, st.fluxes)
+
+    key, k_samp = jax.random.split(key)
+    (state, acc_n), (chain_locs, chain_fluxes) = jax.lax.scan(
+        kept_step, (state, acc_n), jax.random.split(k_samp, num_kept)
+    )
+    # [K, T, 1, M, ...] -> [T, K, M, ...]
+    chain_locs = chain_locs[:, :, 0].transpose(1, 0, 2, 3)
+    chain_fluxes = chain_fluxes[:, :, 0].transpose(1, 0, 2)
+    acc_rate = acc_n[:, 0] / (nb + num_kept * cfg.keep_every_k)
+
+    chain_counts = jnp.full((T, num_kept), M, dtype=jnp.int32)
+    pruned_counts, pruned_locs, pruned_fluxes = prune_catalog(
+        chain_locs,
+        chain_fluxes,
+        height=model.height,
+        width=model.width,
+        flux_threshold=cfg.flux_detection_threshold,
+        mask=slot_mask(chain_counts, M),
+    )
+    return MCMCResult(
+        counts=chain_counts,
+        locs=chain_locs,
+        fluxes=chain_fluxes,
+        pruned_counts=pruned_counts,
+        pruned_locs=pruned_locs,
+        pruned_fluxes=pruned_fluxes,
+        acc_rate=acc_rate,
+    )
+
+
+class MHSampler:
+    """User-facing wrapper mirroring the reference ``MHsampler`` API
+    (sampler.py:301-340)."""
+
+    def __init__(
+        self,
+        image,
+        tile_dim,
+        Prior,
+        ImageModel,
+        locs_stdev,
+        fluxes_stdev,
+        flux_detection_threshold,
+        num_samples_total,
+        num_samples_burnin,
+        keep_every_k: int = 1,
+        fluxes_min=0.0,
+        fluxes_max=1e6,
+    ):
+        self.image = jnp.asarray(image, dtype=jnp.float32)
+        self.tile_dim = tile_dim
+        h, w = self.image.shape
+        self.num_tiles_h = h // tile_dim
+        self.num_tiles_w = w // tile_dim
+        self.tiled_image = tile_image(
+            self.image, self.num_tiles_h, self.num_tiles_w, tile_dim
+        )
+        self.prior = Prior
+        self.image_model = ImageModel
+        self.kernel = SingleComponentMH(
+            num_iters=1,
+            locs_stdev=jnp.asarray(locs_stdev, dtype=jnp.float32),
+            fluxes_stdev=jnp.asarray(fluxes_stdev, dtype=jnp.float32),
+            fluxes_min=jnp.asarray(fluxes_min, dtype=jnp.float32),
+            fluxes_max=jnp.asarray(fluxes_max, dtype=jnp.float32),
+        )
+        self.config = MCMCConfig(
+            num_samples_total=num_samples_total,
+            num_samples_burnin=num_samples_burnin,
+            keep_every_k=keep_every_k,
+            flux_detection_threshold=flux_detection_threshold,
+        )
+        self.result: MCMCResult | None = None
+
+    def run(self, key=None) -> MCMCResult:
+        if key is None:
+            key = jax.random.key(0)
+        self.result = jax.jit(run_mh)(
+            key,
+            self.tiled_image,
+            self.prior,
+            self.image_model,
+            self.kernel,
+            self.config,
+        )
+        return self.result
+
+    @property
+    def has_run(self):
+        return self.result is not None
+
+    def posterior_mean_count(self):
+        return self.result.pruned_counts.mean(-1)
+
+    def posterior_mean_total_flux(self):
+        return self.result.fluxes.sum(-1).mean(-1)
+
+    def summarize(self):
+        if not self.has_run:
+            raise ValueError("Sampler hasn't been run yet.")
+        import numpy as np
+
+        r = self.result
+        pc = np.asarray(r.pruned_counts)
+        print(
+            "posterior distribution of number of detectable stars within "
+            "image boundary:"
+        )
+        vals, cnts = np.unique(pc, return_counts=True)
+        print(vals)
+        print(np.round(cnts / pc.size, 3), "\n")
+        print(
+            "posterior mean total intrinsic flux = "
+            f"{np.asarray(self.posterior_mean_total_flux())}\n"
+        )
+        print(f"acceptance rate = {np.asarray(r.acc_rate)}")
+
+
+# Reference spelling.
+MHsampler = MHSampler

@@ -1,0 +1,187 @@
+"""Tests for divide-and-conquer aggregation (inference/aggregate.py).
+
+Scenario mirrors the reference's divideandconquer experiment
+(/root/reference/experiments/m71synthetic/divideandconquer.ipynb): a 16x16
+image split into a 2x2 grid of 8x8 tiles, per-tile CS-SMC, then the 2-level
+merge tree. Ground truth: stars planted well inside distinct tiles plus one
+directly on a tile boundary (the case tiling alone cannot handle).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smcdet_tpu.inference.aggregate import Aggregate, expand_prior
+from smcdet_tpu.inference.kernels import SingleComponentMH
+from smcdet_tpu.inference.smc import SMCSampler
+from smcdet_tpu.models.imaging import ImageModel
+from smcdet_tpu.models.priors import (
+    NormalFlux,
+    PointProcessPrior,
+    PoissonProcessPrior,
+    UniformCounts,
+)
+from smcdet_tpu.models.psf import GaussianPSF
+
+
+def make_setup(tile=8, max_objects=3, pad=1.0):
+    prior = PointProcessPrior(
+        min_objects=0,
+        max_objects=max_objects,
+        image_height=tile,
+        image_width=tile,
+        pad=pad,
+        counts=UniformCounts(low=0, high=max_objects),
+        flux=NormalFlux(mean=jnp.float32(2000.0), stdev=jnp.float32(300.0)),
+    )
+    model = ImageModel(
+        height=tile,
+        width=tile,
+        psf_radius=4,
+        noise="poisson",
+        background=jnp.float32(100.0),
+        psf=GaussianPSF(stdev=jnp.float32(1.0)),
+    )
+    kernel = SingleComponentMH(
+        num_iters=20,
+        locs_stdev=jnp.float32(0.25),
+        fluxes_stdev=jnp.float32(60.0),
+        fluxes_min=jnp.float32(500.0),
+        fluxes_max=jnp.float32(5000.0),
+    )
+    return prior, model, kernel
+
+
+TRUE_LOCS = np.asarray(
+    [
+        [3.0, 3.5],  # tile (0,0)
+        [12.5, 4.0],  # tile (1,0)
+        [8.0, 11.5],  # ON the horizontal tile boundary
+    ]
+)
+TRUE_FLUXES = np.asarray([2000.0, 2200.0, 2400.0])
+
+
+@pytest.fixture(scope="module")
+def aggregated():
+    prior, model, kernel = make_setup()
+    full_model = model.replace(height=16, width=16)
+    image = full_model.sample(
+        jax.random.key(9),
+        jnp.asarray(TRUE_LOCS),
+        jnp.asarray(TRUE_FLUXES),
+    )
+    sampler = SMCSampler(
+        image=image,
+        tile_dim=8,
+        Prior=prior,
+        ImageModel=model,
+        MutationKernel=kernel,
+        num_catalogs=192,
+        flux_detection_threshold=600.0,
+        max_smc_iters=50,
+        resample_method="systematic",
+    )
+    sampler.run(jax.random.key(1))
+    agg = Aggregate.from_smc(sampler)
+    agg.run(jax.random.key(2))
+    return agg
+
+
+class TestExpandPrior:
+    def test_poisson_rate_scales_with_area(self):
+        prior = PoissonProcessPrior(
+            min_objects=0,
+            max_objects=4,
+            counts_rate=0.03,
+            image_height=8,
+            image_width=8,
+            pad=1.0,
+        )
+        new = expand_prior(prior, 16, 8, 8)
+        np.testing.assert_allclose(
+            float(new.counts.rate),
+            0.03 * 18 * 10,
+            rtol=1e-6,
+        )
+        assert new.max_objects == 8
+        assert new.image_height == 16
+
+
+class TestAggregate:
+    def test_tree_reduces_to_single_tile(self, aggregated):
+        assert aggregated.num_aggregation_levels == 2
+        assert aggregated.state.data.shape == (1, 1, 16, 16)
+        assert aggregated.image_height == 16
+
+    def test_temperatures_reach_one(self, aggregated):
+        for d in aggregated.diagnostics:
+            np.testing.assert_allclose(np.asarray(d["temperature"]), 1.0)
+
+    def test_posterior_count_is_three(self, aggregated):
+        pc = np.asarray(aggregated.pruned_counts[0, 0])
+        vals, cnts = np.unique(pc, return_counts=True)
+        mode = vals[cnts.argmax()]
+        assert mode == 3, dict(zip(vals.tolist(), cnts.tolist()))
+        assert cnts.max() / pc.size > 0.5
+
+    def test_boundary_star_is_found(self, aggregated):
+        # The star at (8.0, 11.5) sits exactly on the tile boundary; the
+        # merged posterior must place a source within 1 px of it.
+        locs = np.asarray(aggregated.pruned_locs[0, 0])  # [N, M, 2]
+        counts = np.asarray(aggregated.pruned_counts[0, 0])
+        found = 0
+        for n in range(locs.shape[0]):
+            c = counts[n]
+            if c == 0:
+                continue
+            d = np.linalg.norm(locs[n, :c] - TRUE_LOCS[2], axis=-1).min()
+            found += d < 1.0
+        assert found / max((counts > 0).sum(), 1) > 0.8
+
+    def test_flux_recovered(self, aggregated):
+        mean_flux = float(aggregated.posterior_mean_total_flux()[0, 0])
+        truth = TRUE_FLUXES.sum()
+        assert abs(mean_flux - truth) / truth < 0.25, mean_flux
+
+    def test_weights_normalised(self, aggregated):
+        w = np.asarray(aggregated.state.weights)
+        np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-4)
+
+    def test_summarize_prints(self, aggregated, capsys):
+        aggregated.summarize()
+        assert "posterior" in capsys.readouterr().out
+
+
+class TestAggregateValidation:
+    def test_rejects_non_square_grid(self):
+        prior, model, kernel = make_setup()
+        with pytest.raises(ValueError, match="square"):
+            Aggregate(
+                Prior=prior,
+                ImageModel=model,
+                MutationKernel=kernel,
+                data=jnp.zeros((2, 4, 8, 8)),
+                counts=jnp.zeros((2, 4, 8), dtype=jnp.int32),
+                locs=jnp.zeros((2, 4, 8, 3, 2)),
+                fluxes=jnp.zeros((2, 4, 8, 3)),
+                weights=jnp.full((2, 4, 8), 1 / 8),
+                log_normalizing_constant=jnp.zeros((2, 4, 4)),
+            )
+
+    def test_rejects_bad_resample_method(self):
+        prior, model, kernel = make_setup()
+        with pytest.raises(ValueError, match="resample_method"):
+            Aggregate(
+                Prior=prior,
+                ImageModel=model,
+                MutationKernel=kernel,
+                data=jnp.zeros((2, 2, 8, 8)),
+                counts=jnp.zeros((2, 2, 8), dtype=jnp.int32),
+                locs=jnp.zeros((2, 2, 8, 3, 2)),
+                fluxes=jnp.zeros((2, 2, 8, 3)),
+                weights=jnp.full((2, 2, 8), 1 / 8),
+                log_normalizing_constant=jnp.zeros((2, 2, 4)),
+                resample_method="bogus",
+            )

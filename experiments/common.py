@@ -1,0 +1,56 @@
+"""Shared CLI plumbing for experiment drivers."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+# make the in-repo package importable without installation
+_REPO_ROOT = str(Path(__file__).resolve().parents[1])
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from smcdet_tpu.config import load_config
+from smcdet_tpu.runner import run_experiment, simulate_tiles
+
+
+def experiment_config(script_path):
+    return load_config(Path(script_path).parent / "config.yaml")
+
+
+def run_cli(script_path, method: str):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--job-index", type=int, default=0)
+    parser.add_argument("--num-jobs", type=int, default=1)
+    parser.add_argument("--num-images", type=int, default=None)
+    args = parser.parse_args()
+
+    cfg = experiment_config(script_path)
+    if args.num_images is not None:
+        cfg.num_images = args.num_images
+    out = run_experiment(
+        cfg,
+        method=method,
+        job_index=args.job_index,
+        num_jobs=args.num_jobs,
+    )
+    print(f"results in {out}")
+
+
+def generate_cli(script_path):
+    import numpy as np
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num-images", type=int, default=None)
+    args = parser.parse_args()
+
+    cfg = experiment_config(script_path)
+    if args.num_images is not None:
+        cfg.num_images = args.num_images
+    tiles = simulate_tiles(cfg)
+    out_dir = Path(cfg.output_dir) / cfg.name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = out_dir / "tiles.npz"
+    np.savez_compressed(path, **tiles)
+    print(f"saved {tiles['images'].shape[0]} tiles to {path}")

@@ -1,0 +1,252 @@
+"""Typed experiment configuration.
+
+The reference has no unified config: experiment scripts hard-code
+hyperparameters (run_smc.py:43-96), SDSS ingestion uses a Hydra YAML
+(experiments/m71/config.yaml) and fitted model parameters travel in a
+pickle (``params.pkl``, m71.ipynb cells 98-99). Here a single typed
+dataclass tree covers prior, image model, mutation kernel, sampler,
+aggregation, and experiment I/O, with YAML round-tripping — the
+"single typed config" SURVEY.md §5 calls for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+
+__all__ = [
+    "PriorConfig",
+    "ImageModelConfig",
+    "KernelConfig",
+    "SamplerConfig",
+    "AggregationConfig",
+    "ExperimentConfig",
+    "build_prior",
+    "build_image_model",
+    "build_kernel",
+    "load_config",
+    "save_config",
+]
+
+
+@dataclass
+class PriorConfig:
+    family: str = "m71"  # m71 | pareto_star | star | poisson | geometric
+    min_objects: int = 0
+    max_objects: int = 10
+    image_height: int = 8
+    image_width: int = 8
+    pad: float = 1.0
+    counts_rate: float = 0.03  # poisson/m71
+    flux_mean: float = 1000.0  # star
+    flux_stdev: float = 100.0  # star
+    flux_scale: float = 570.0  # pareto_star
+    flux_alpha: float = 0.214  # pareto_star / m71
+    flux_lower: float = 0.252  # m71
+    flux_upper: float = 1804.679  # m71
+
+
+@dataclass
+class ImageModelConfig:
+    kind: str = "m71"  # m71 | gaussian
+    image_height: int = 8
+    image_width: int = 8
+    background: float = 179.0
+    psf_radius: int = 8
+    psf_stdev: float = 1.0  # gaussian
+    psf_params: tuple = (1.51, 4.85, 1.32, 3.0, 0.09, 0.002)  # m71
+    adu_per_nmgy: float = 155.0
+    noise_additive: float = 0.0
+    noise_multiplicative: float = 1.94
+
+
+@dataclass
+class KernelConfig:
+    kind: str = "mh"  # mh | mala
+    num_iters: int = 100
+    locs_stdev: float = 0.25
+    fluxes_stdev: float = 5.0
+    fluxes_min: float = 0.252
+    fluxes_max: float = 1804.679
+
+
+@dataclass
+class SamplerConfig:
+    num_catalogs: int = 2048
+    ess_threshold_prop: float = 0.5
+    resample_method: str = "systematic"
+    max_smc_iters: int = 100
+    flux_detection_threshold: float = 0.7
+    tile_dim: int = 8
+
+
+@dataclass
+class AggregationConfig:
+    enabled: bool = False
+    ess_threshold_prop: float = 0.5
+    resample_method: str = "multinomial"
+    max_smc_iters: int = 100
+    max_objects_cap: Optional[int] = None
+
+
+@dataclass
+class ExperimentConfig:
+    name: str = "experiment"
+    seed: int = 0
+    num_images: int = 100
+    batch_size: int = 10
+    output_dir: str = "output"
+    data_path: Optional[str] = None  # None => simulate
+    prior: PriorConfig = field(default_factory=PriorConfig)
+    image_model: ImageModelConfig = field(default_factory=ImageModelConfig)
+    kernel: KernelConfig = field(default_factory=KernelConfig)
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    aggregation: AggregationConfig = field(default_factory=AggregationConfig)
+
+
+def build_prior(cfg: PriorConfig):
+    from smcdet_tpu.models.priors import (
+        GeometricProcessPrior,
+        M71Prior,
+        ParetoStarPrior,
+        PoissonProcessPrior,
+        StarPrior,
+    )
+
+    common = dict(
+        min_objects=cfg.min_objects,
+        max_objects=cfg.max_objects,
+        image_height=cfg.image_height,
+        image_width=cfg.image_width,
+        pad=cfg.pad,
+    )
+    if cfg.family == "m71":
+        return M71Prior(
+            counts_rate=cfg.counts_rate,
+            flux_alpha=cfg.flux_alpha,
+            flux_lower=cfg.flux_lower,
+            flux_upper=cfg.flux_upper,
+            **common,
+        )
+    if cfg.family == "pareto_star":
+        return ParetoStarPrior(
+            flux_scale=cfg.flux_scale, flux_alpha=cfg.flux_alpha, **common
+        )
+    if cfg.family == "star":
+        return StarPrior(
+            flux_mean=cfg.flux_mean, flux_stdev=cfg.flux_stdev, **common
+        )
+    if cfg.family == "poisson":
+        return PoissonProcessPrior(counts_rate=cfg.counts_rate, **common)
+    if cfg.family == "geometric":
+        return GeometricProcessPrior(**common)
+    raise ValueError(f"unknown prior family {cfg.family!r}")
+
+
+def build_image_model(cfg: ImageModelConfig):
+    from smcdet_tpu.models.imaging import ImageModel, M71ImageModel
+    from smcdet_tpu.models.psf import GaussianPSF
+
+    if cfg.kind == "m71":
+        return M71ImageModel(
+            image_height=cfg.image_height,
+            image_width=cfg.image_width,
+            background=cfg.background,
+            adu_per_nmgy=cfg.adu_per_nmgy,
+            psf_params=tuple(cfg.psf_params),
+            psf_radius=cfg.psf_radius,
+            noise_additive=cfg.noise_additive,
+            noise_multiplicative=cfg.noise_multiplicative,
+        )
+    if cfg.kind == "gaussian":
+        return ImageModel(
+            height=cfg.image_height,
+            width=cfg.image_width,
+            psf_radius=cfg.psf_radius,
+            noise="poisson",
+            background=jnp.float32(cfg.background),
+            psf=GaussianPSF(stdev=jnp.float32(cfg.psf_stdev)),
+        )
+    raise ValueError(f"unknown image model kind {cfg.kind!r}")
+
+
+def build_kernel(cfg: KernelConfig):
+    from smcdet_tpu.inference.kernels import (
+        SingleComponentMALA,
+        SingleComponentMH,
+    )
+
+    cls = {"mh": SingleComponentMH, "mala": SingleComponentMALA}.get(cfg.kind)
+    if cls is None:
+        raise ValueError(f"unknown kernel kind {cfg.kind!r}")
+    if cfg.kind == "mh":
+        return cls(
+            num_iters=cfg.num_iters,
+            locs_stdev=jnp.float32(cfg.locs_stdev),
+            fluxes_stdev=jnp.float32(cfg.fluxes_stdev),
+            fluxes_min=jnp.float32(cfg.fluxes_min),
+            fluxes_max=jnp.float32(cfg.fluxes_max),
+        )
+    return cls(
+        num_iters=cfg.num_iters,
+        locs_step=jnp.float32(cfg.locs_stdev),
+        fluxes_step=jnp.float32(cfg.fluxes_stdev),
+        fluxes_min=jnp.float32(cfg.fluxes_min),
+        fluxes_max=jnp.float32(cfg.fluxes_max),
+    )
+
+
+def _to_dict(obj):
+    if dataclasses.is_dataclass(obj):
+        return {
+            f.name: _to_dict(getattr(obj, f.name))
+            for f in dataclasses.fields(obj)
+        }
+    if isinstance(obj, (tuple, list)):
+        return [_to_dict(v) for v in obj]
+    return obj
+
+
+_SUBCONFIGS = {
+    "prior": PriorConfig,
+    "image_model": ImageModelConfig,
+    "kernel": KernelConfig,
+    "sampler": SamplerConfig,
+    "aggregation": AggregationConfig,
+}
+
+
+def _from_dict(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        sub = _SUBCONFIGS.get(f.name)
+        if sub is not None and isinstance(v, dict):
+            kwargs[f.name] = _from_dict(sub, v)
+        elif f.name == "psf_params" and isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def save_config(cfg: ExperimentConfig, path):
+    import yaml
+
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(_to_dict(cfg), f, sort_keys=False)
+
+
+def load_config(path) -> ExperimentConfig:
+    import yaml
+
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    return _from_dict(ExperimentConfig, d)

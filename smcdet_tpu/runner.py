@@ -1,0 +1,184 @@
+"""Batch experiment runner with checkpoint/resume.
+
+Re-design of the reference experiment drivers
+(/root/reference/experiments/*/run_smc.py, run_mcmc.py,
+generate_images.py): simulate or load tiles, run per-batch inference
+(CS-SMC, optionally + aggregation, or the MH baseline), and write one
+``.npz`` artifact per batch. A crashed job resumes by skipping batches
+whose artifact already exists — the reference's batch-shard pattern
+(run_smc.py:105-181, run_mcmc.py:84-89) made first-class, including the
+``BATCH_INDEX``-style job sharding via ``job_index`` / ``num_jobs``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smcdet_tpu.config import (
+    ExperimentConfig,
+    build_image_model,
+    build_kernel,
+    build_prior,
+)
+from smcdet_tpu.inference.smc import SMCConfig, run_csmc
+from smcdet_tpu.models.simulate import generate_images
+
+__all__ = ["simulate_tiles", "run_experiment", "load_results"]
+
+
+def simulate_tiles(cfg: ExperimentConfig, key=None):
+    """Simulate the experiment's tiles from its own generative model
+    (generate_images.py parity). Returns a dict of arrays."""
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    prior = build_prior(cfg.prior)
+    model = build_image_model(cfg.image_model)
+    sim = generate_images(
+        key,
+        prior,
+        model,
+        flux_threshold=cfg.sampler.flux_detection_threshold,
+        loc_threshold_lower=0.0,
+        loc_threshold_upper=float(cfg.image_model.image_height),
+        num_images=cfg.num_images,
+    )
+    return {
+        "images": np.asarray(sim.images),
+        "true_counts": np.asarray(sim.pruned_counts),
+        "true_locs": np.asarray(sim.pruned_locs),
+        "true_fluxes": np.asarray(sim.pruned_fluxes),
+        "unpruned_counts": np.asarray(sim.unpruned_counts),
+        "unpruned_locs": np.asarray(sim.unpruned_locs),
+        "unpruned_fluxes": np.asarray(sim.unpruned_fluxes),
+    }
+
+
+def _load_tiles(cfg: ExperimentConfig):
+    """Tiles come from (in order): an explicit ``data_path``, a staged
+    ``tiles.npz`` written by ``generate_images.py``, or a fresh
+    simulation."""
+    path = (
+        Path(cfg.data_path)
+        if cfg.data_path is not None
+        else Path(cfg.output_dir) / cfg.name / "tiles.npz"
+    )
+    if path.exists():
+        data = np.load(path)
+        return {k: data[k] for k in data.files}
+    if cfg.data_path is not None:
+        raise FileNotFoundError(
+            f"{path} not found — run the experiment's data-prep step first"
+        )
+    return simulate_tiles(cfg)
+
+
+def run_experiment(
+    cfg: ExperimentConfig,
+    method: str = "smc",
+    job_index: int = 0,
+    num_jobs: int = 1,
+    verbose: bool = True,
+):
+    """Run ``method`` ("smc" | "mcmc") over the experiment's images in
+    batches, saving ``{output_dir}/{name}/{method}_batch{b:04d}.npz``.
+
+    Batches are distributed round-robin over ``num_jobs`` jobs; existing
+    artifacts are skipped (resume).
+    """
+    out_dir = Path(cfg.output_dir) / cfg.name
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    tiles = _load_tiles(cfg)
+    images = jnp.asarray(tiles["images"], dtype=jnp.float32)
+    num_images = images.shape[0]
+    num_batches = -(-num_images // cfg.batch_size)
+
+    prior = build_prior(cfg.prior)
+    model = build_image_model(cfg.image_model)
+    kernel = build_kernel(cfg.kernel)
+
+    if method == "smc":
+        smc_cfg = SMCConfig(
+            num_catalogs=cfg.sampler.num_catalogs,
+            ess_threshold_prop=cfg.sampler.ess_threshold_prop,
+            resample_method=cfg.sampler.resample_method,
+            max_smc_iters=cfg.sampler.max_smc_iters,
+            flux_detection_threshold=cfg.sampler.flux_detection_threshold,
+        )
+        run = jax.jit(
+            lambda key, imgs: run_csmc(key, imgs, prior, model, kernel, smc_cfg)
+        )
+    elif method == "mcmc":
+        from smcdet_tpu.inference.mcmc import MCMCConfig, run_mh
+
+        mc_cfg = MCMCConfig(
+            num_samples_total=cfg.sampler.num_catalogs * 10,
+            num_samples_burnin=cfg.sampler.num_catalogs * 5,
+            keep_every_k=2,
+            flux_detection_threshold=cfg.sampler.flux_detection_threshold,
+        )
+        mh_kernel = kernel.replace(num_iters=1)
+        run = jax.jit(
+            lambda key, imgs: run_mh(key, imgs, prior, model, mh_kernel, mc_cfg)
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    manifest = {"config": cfg.name, "method": method, "batches": []}
+    for b in range(num_batches):
+        if b % num_jobs != job_index:
+            continue
+        path = out_dir / f"{method}_batch{b:04d}.npz"
+        if path.exists():
+            if verbose:
+                print(f"batch {b}: exists, skipping (resume)")
+            continue
+        lo, hi = b * cfg.batch_size, min((b + 1) * cfg.batch_size, num_images)
+        key = jax.random.fold_in(jax.random.key(cfg.seed), b)
+
+        start = time.perf_counter()
+        result = run(key, images[lo:hi])
+        jax.block_until_ready(result)
+        runtime = time.perf_counter() - start
+
+        arrays = {
+            f: np.asarray(getattr(result, f)) for f in result._fields
+        }
+        arrays["runtime"] = np.asarray(runtime)
+        arrays["image_index"] = np.arange(lo, hi)
+        np.savez_compressed(path, **arrays)
+        manifest["batches"].append(
+            {"batch": b, "images": [lo, hi], "runtime_s": runtime}
+        )
+        if verbose:
+            print(f"batch {b}: images [{lo}, {hi}) in {runtime:.2f}s")
+
+    with open(out_dir / f"{method}_manifest_job{job_index}.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+    return out_dir
+
+
+def load_results(out_dir, method: str = "smc"):
+    """Concatenate all batch artifacts of ``method`` under ``out_dir``."""
+    paths = sorted(Path(out_dir).glob(f"{method}_batch*.npz"))
+    if not paths:
+        raise FileNotFoundError(f"no {method} batches under {out_dir}")
+    batches = [np.load(p) for p in paths]
+    keys = [k for k in batches[0].files if k != "runtime"]
+    out = {}
+    for k in keys:
+        vals = [b[k] for b in batches]
+        # per-batch scalars (e.g. num_iters) stack; per-image arrays concat
+        out[k] = (
+            np.stack(vals)
+            if vals[0].ndim == 0
+            else np.concatenate(vals, axis=0)
+        )
+    out["runtime"] = np.asarray([float(b["runtime"]) for b in batches])
+    return out

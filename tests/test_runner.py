@@ -1,0 +1,131 @@
+"""Tests for the config system and batch experiment runner."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from smcdet_tpu.config import (
+    ExperimentConfig,
+    ImageModelConfig,
+    KernelConfig,
+    PriorConfig,
+    SamplerConfig,
+    build_image_model,
+    build_kernel,
+    build_prior,
+    load_config,
+    save_config,
+)
+from smcdet_tpu.runner import load_results, run_experiment, simulate_tiles
+
+
+def tiny_config(tmp_path) -> ExperimentConfig:
+    return ExperimentConfig(
+        name="tiny",
+        seed=0,
+        num_images=4,
+        batch_size=2,
+        output_dir=str(tmp_path),
+        prior=PriorConfig(
+            family="pareto_star",
+            min_objects=0,
+            max_objects=3,
+            image_height=8,
+            image_width=8,
+            pad=1.0,
+            flux_scale=345.84,
+            flux_alpha=2.0,
+        ),
+        image_model=ImageModelConfig(
+            kind="gaussian",
+            image_height=8,
+            image_width=8,
+            background=200.0,
+            psf_radius=4,
+            psf_stdev=0.93,
+        ),
+        kernel=KernelConfig(
+            kind="mh",
+            num_iters=10,
+            locs_stdev=0.1,
+            fluxes_stdev=100.0,
+            fluxes_min=345.0,
+            fluxes_max=100000.0,
+        ),
+        sampler=SamplerConfig(
+            num_catalogs=32,
+            max_smc_iters=20,
+            flux_detection_threshold=384.0,
+        ),
+    )
+
+
+class TestConfig:
+    def test_yaml_roundtrip(self, tmp_path):
+        cfg = tiny_config(tmp_path)
+        path = tmp_path / "config.yaml"
+        save_config(cfg, path)
+        loaded = load_config(path)
+        assert loaded == cfg
+
+    def test_builders(self, tmp_path):
+        cfg = tiny_config(tmp_path)
+        prior = build_prior(cfg.prior)
+        assert prior.max_objects == 3
+        model = build_image_model(cfg.image_model)
+        assert model.height == 8
+        kernel = build_kernel(cfg.kernel)
+        assert kernel.num_iters == 10
+
+    def test_m71_and_mala_builders(self):
+        prior = build_prior(PriorConfig(family="m71"))
+        assert prior.flux is not None
+        model = build_image_model(ImageModelConfig(kind="m71"))
+        assert model.noise == "gaussian"
+        kernel = build_kernel(KernelConfig(kind="mala", num_iters=5))
+        assert kernel.num_iters == 5
+
+    def test_unknown_family_raises(self):
+        with pytest.raises(ValueError, match="unknown prior"):
+            build_prior(PriorConfig(family="bogus"))
+
+    def test_shipped_experiment_configs_load(self):
+        root = Path(__file__).resolve().parents[1] / "experiments"
+        for name in ("basic", "m71synthetic", "m71semisynthetic", "m71"):
+            cfg = load_config(root / name / "config.yaml")
+            assert cfg.name == name
+            build_prior(cfg.prior)
+            build_image_model(cfg.image_model)
+            build_kernel(cfg.kernel)
+
+
+class TestRunner:
+    def test_simulate_tiles(self, tmp_path):
+        tiles = simulate_tiles(tiny_config(tmp_path))
+        assert tiles["images"].shape == (4, 8, 8)
+        assert tiles["true_counts"].shape == (4,)
+
+    def test_run_resume_and_load(self, tmp_path, capsys):
+        cfg = tiny_config(tmp_path)
+        out = run_experiment(cfg, method="smc")
+        files = sorted(p.name for p in out.glob("smc_batch*.npz"))
+        assert files == ["smc_batch0000.npz", "smc_batch0001.npz"]
+
+        results = load_results(out, "smc")
+        # concatenated over batches: [4 images, C*N catalogs]
+        assert results["counts"].shape == (4, 4 * 32)
+        assert np.isfinite(results["log_normalizing_constant"]).all()
+        assert results["runtime"].shape == (2,)
+
+        # resume: second invocation skips all batches
+        run_experiment(cfg, method="smc")
+        outtext = capsys.readouterr().out
+        assert outtext.count("skipping") == 2
+
+    def test_job_sharding(self, tmp_path):
+        cfg = tiny_config(tmp_path)
+        run_experiment(cfg, method="smc", job_index=0, num_jobs=2)
+        out = Path(cfg.output_dir) / cfg.name
+        files = sorted(p.name for p in out.glob("smc_batch*.npz"))
+        assert files == ["smc_batch0000.npz"]

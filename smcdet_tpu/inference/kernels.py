@@ -154,19 +154,29 @@ def _flux_prior_delta(prior, active, f_old, f_new):
     )
 
 
-def _apply_slot_update(values, j, new_slot, apply):
-    """Write ``new_slot`` into object slot ``j`` where ``apply``.
+def _take_slot(values, onehot):
+    """Read object slot ``j`` (encoded as ``onehot`` ``[..., N, M]``) from
+    ``values`` ``[..., N, M, *ev]`` as a masked sum.
 
-    ``values``: ``[..., N, M, *ev]``; ``j``/``apply``: ``[..., N]``;
-    ``new_slot``: ``[..., N, *ev]`` (ev = () for fluxes, (2,) for locs).
+    NOTE (TPU): this deliberately avoids ``take_along_axis`` — a dynamic
+    gather along the tiny slot axis lowers to a serial per-element gather
+    on TPU and costs ~8x the entire rest of the sweep; the one-hot
+    contraction is fused into surrounding elementwise work for free.
     """
-    M = values.shape[j.ndim]
-    ev = values.ndim - j.ndim - 1  # number of trailing event dims
-    onehot = jnp.arange(M) == j[..., None]  # [..., N, M]
-    sel = (onehot & apply[..., None]).reshape(
-        j.shape + (M,) + (1,) * ev
-    )
-    new = jnp.expand_dims(new_slot, axis=j.ndim)  # [..., N, 1, *ev]
+    ev = values.ndim - onehot.ndim
+    oh = onehot.reshape(onehot.shape + (1,) * ev)
+    return (values * oh).sum(onehot.ndim - 1)
+
+
+def _apply_slot_update(values, onehot, new_slot, apply):
+    """Write ``new_slot`` into the one-hot slot where ``apply``.
+
+    ``values``: ``[..., N, M, *ev]``; ``onehot``/``apply``: ``[..., N, M]``
+    / ``[..., N]``; ``new_slot``: ``[..., N, *ev]``.
+    """
+    ev = values.ndim - onehot.ndim
+    sel = (onehot & apply[..., None]).reshape(onehot.shape + (1,) * ev)
+    new = jnp.expand_dims(new_slot, axis=onehot.ndim - 1)
     return jnp.where(sel, new, values)
 
 
@@ -194,10 +204,10 @@ class SingleComponentMH:
 
         j = jax.random.randint(k_j, batchN, 0, M)
         active = j < counts
+        onehot = jnp.arange(M) == j[..., None]  # [..., N, M]
 
-        loc_j = jnp.take_along_axis(locs, j[..., None, None], axis=-2)
-        loc_j = loc_j[..., 0, :]  # [..., N, 2]
-        f_j = jnp.take_along_axis(fluxes, j[..., None], axis=-1)[..., 0]
+        loc_j = _take_slot(locs, onehot)  # [..., N, 2]
+        f_j = _take_slot(fluxes, onehot)
 
         loc_low = ctx.prior.loc_low
         loc_high = ctx.prior.loc_high
@@ -261,8 +271,8 @@ class SingleComponentMH:
         accept = u <= jnp.exp(jnp.minimum(log_alpha, 0.0))
         apply = accept & active
 
-        new_locs = _apply_slot_update(locs, j, loc_prop, apply)
-        new_fluxes = _apply_slot_update(fluxes, j, f_prop, apply)
+        new_locs = _apply_slot_update(locs, onehot, loc_prop, apply)
+        new_fluxes = _apply_slot_update(fluxes, onehot, f_prop, apply)
         a_px = apply[..., None, None]
         new_state = KernelState(
             locs=new_locs,
@@ -354,11 +364,10 @@ class SingleComponentMALA:
 
         j = jax.random.randint(k_j, batchN, 0, M)
         active = j < counts
+        onehot = jnp.arange(M) == j[..., None]  # [..., N, M]
 
-        loc_j = jnp.take_along_axis(locs, j[..., None, None], axis=-2)[
-            ..., 0, :
-        ]
-        f_j = jnp.take_along_axis(fluxes, j[..., None], axis=-1)[..., 0]
+        loc_j = _take_slot(locs, onehot)
+        f_j = _take_slot(fluxes, onehot)
 
         # Remove slot j from the caches once; everything below is a function
         # of the slot parameters only.
@@ -425,8 +434,8 @@ class SingleComponentMALA:
         rate_new, child_rate_new, parent_ll_new, child_ll_new, logprior_new = (
             caches_new
         )
-        new_locs = _apply_slot_update(locs, j, loc_prop, apply)
-        new_fluxes = _apply_slot_update(fluxes, j, f_prop, apply)
+        new_locs = _apply_slot_update(locs, onehot, loc_prop, apply)
+        new_fluxes = _apply_slot_update(fluxes, onehot, f_prop, apply)
         a_px = apply[..., None, None]
         new_state = KernelState(
             locs=new_locs,

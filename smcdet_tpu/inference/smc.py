@@ -99,20 +99,26 @@ def _context(prior, model, images, temperature):
     )
 
 
-def _temper_and_reweight(prior, model, images, cfg, strata, state):
+def _temper_and_reweight(prior, model, images, cfg, strata, state,
+                         loglik=None):
     """Adaptive tempering + incremental weight/logZ/ESS update.
 
-    Parity: sampler.py:99-125 (temper; likelihood recomputed in full, which
-    also resets any drift in the mutation kernel's incremental caches) and
-    :181-196 (update_weights), per count stratum, with the per-tile step
-    taken as the minimum over strata (the rule aggregate.py:140-174 uses).
+    Parity: sampler.py:99-125 (temper) and :181-196 (update_weights), per
+    count stratum, with the per-tile step taken as the minimum over strata
+    (the rule aggregate.py:140-174 uses). Unlike the reference, which
+    re-renders every catalog to recompute the likelihood each iteration
+    (sampler.py:100-103), the mutation kernel's incrementally maintained
+    likelihood is passed in when available — it is exact up to f32
+    accumulation drift (~1e-3 nats over a full run) and saves a full
+    ``max_objects``-star re-render per iteration.
     """
     T, C, N = state.loglik.shape
     done = state.temperature >= 1.0
 
-    loglik = model.loglikelihood(
-        images[:, None, None], state.locs, state.fluxes
-    )  # [T, C, N]
+    if loglik is None:
+        loglik = model.loglikelihood(
+            images[:, None, None], state.locs, state.fluxes
+        )  # [T, C, N]
 
     ess_target = cfg.ess_threshold_prop * N
     delta_c = solve_tempering_step(
@@ -227,6 +233,7 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
         kstate, acc_rate = kernel.run(k_mut, ctx, counts_b, locs, fluxes)
         locs = jnp.where(keep[..., None, None], state.locs, kstate.locs)
         fluxes = jnp.where(keep[..., None], state.fluxes, kstate.fluxes)
+        loglik = jnp.where(keep, loglik, kstate.parent_ll)
         acc_tile = acc_rate.mean(-1)  # [T]
 
         state = state._replace(
@@ -237,7 +244,9 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
             acc_rate=jnp.where(done, state.acc_rate, acc_tile),
             iteration=state.iteration + 1,
         )
-        state = _temper_and_reweight(prior, model, images, cfg, strata, state)
+        state = _temper_and_reweight(
+            prior, model, images, cfg, strata, state, loglik=loglik
+        )
 
         if cfg.print_every:
             jax.lax.cond(

@@ -195,6 +195,9 @@ class SingleComponentMH:
     fluxes_stdev: jax.Array = 1.0
     fluxes_min: jax.Array = 0.0
     fluxes_max: jax.Array = 1e6
+    # "auto": fused Pallas sweep loop on TPU when the target supports it
+    # (ops/pallas_sweep.py); "xla": always the lax.scan path below.
+    backend: str = struct.field(pytree_node=False, default="auto")
 
     def sweep(self, key, ctx: TargetContext, counts, state: KernelState):
         locs, fluxes = state.locs, state.fluxes
@@ -291,12 +294,42 @@ class SingleComponentMH:
             ),
             logprior=jnp.where(apply, logprior_prop, state.logprior),
         )
-        return new_state, accept
+        # NOTE: the reference reports raw `accept` (kernel.py:130), which
+        # counts proposals on inactive slots (~60% spuriously "accepted");
+        # we report actual applied moves.
+        return new_state, apply
 
     def run(self, key, ctx: TargetContext, counts, locs, fluxes):
         """Run ``num_iters`` sweeps; returns the final ``KernelState`` plus
-        the last sweep's per-batch acceptance rate (kernel.py:130)."""
+        the per-batch acceptance rate (kernel.py:130 reports the last
+        sweep's; the Pallas path reports the average over sweeps)."""
         state = init_kernel_state(ctx, counts, locs, fluxes)
+
+        if self.backend != "xla":
+            from smcdet_tpu.ops import pallas_sweep
+
+            if pallas_sweep.supports(ctx, self):
+                locs2, fluxes2, rate, pll, lp, acc = (
+                    pallas_sweep.pallas_mh_sweeps(
+                        key, ctx, self, counts, locs, fluxes,
+                        state.rate, state.parent_ll, state.logprior,
+                    )
+                )
+                state = KernelState(
+                    locs=locs2,
+                    fluxes=fluxes2,
+                    rate=rate,
+                    child_rate=None,
+                    parent_ll=pll,
+                    child_ll=None,
+                    logprior=lp,
+                )
+                return state, acc.mean(-1)
+            if self.backend == "pallas":
+                raise NotImplementedError(
+                    "pallas backend requested but this target configuration "
+                    "is not supported by the fused kernel"
+                )
 
         def body(carry, k):
             st, _ = carry
@@ -454,7 +487,7 @@ class SingleComponentMALA:
             ),
             logprior=jnp.where(apply, logprior_new, state.logprior),
         )
-        return new_state, accept
+        return new_state, apply
 
     def run(self, key, ctx: TargetContext, counts, locs, fluxes):
         state = init_kernel_state(ctx, counts, locs, fluxes)

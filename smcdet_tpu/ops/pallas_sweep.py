@@ -1,0 +1,530 @@
+"""Fused Pallas TPU kernel: the full single-component MH sweep loop.
+
+The XLA path (inference/kernels.py) dispatches ~15 fused ops per sweep and
+round-trips the per-particle rate cache (``[B, H*W]``) through HBM every
+sweep. This kernel runs ALL ``num_iters`` sweeps of the mutation inside
+one ``pallas_call``: particle state (locs, fluxes, rate image, cached
+likelihood/prior) lives in VMEM for the whole loop, proposals come from
+the on-core PRNG, and HBM is touched exactly once per mutate call instead
+of once per sweep. The payoff grows with tile size — at the aggregation
+tree's upper levels the rate cache is the dominant HBM traffic.
+
+Layout notes (TPU):
+- Everything is lane-major ``[rows, P]`` with the particle block P on the
+  128-wide lane axis; pixels/slots are rows, so per-pixel math runs at
+  full VPU utilization.
+- Slot selection uses one-hot masks (broadcasted iota) — no gathers.
+- ``erf`` is not lowered by Mosaic, so Phi uses the Abramowitz-Stegun
+  7.1.26 polynomial (~1.5e-7 abs error); ``erf_inv`` is native. The
+  truncated-normal sampling transform and its log-density use the SAME
+  Phi, so the proposal density matches the sampling distribution exactly
+  and MH correctness is preserved (the target is untouched).
+
+Supported target: the tile-level tempered target
+``logprior + tau * loglik`` (no aggregation child term) with either image
+model (Gaussian noise or Poisson-with-Normal-tail) and either PSF
+(SDSS 6-parameter or Gaussian), matching inference/kernels.py semantics
+for ``SingleComponentMH`` (reference smcdet/kernel.py:7-130).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_mh_sweeps", "supports"]
+
+_SQRT2 = 1.4142135623730951
+_HALF_LOG_2PI = 0.9189385332046727
+
+
+def _erf_poly(x):
+    """Abramowitz & Stegun 7.1.26 (max abs error ~1.5e-7)."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _ndtr(z):
+    return 0.5 * (1.0 + _erf_poly(z / _SQRT2))
+
+
+def _ndtri(p):
+    return _SQRT2 * jax.lax.erf_inv(2.0 * p - 1.0)
+
+
+def _uniform(shape):
+    """U(eps, 1-eps) from the on-core PRNG (matches distributions.py:62)."""
+    bits = pltpu.prng_random_bits(shape)
+    u = bits.astype(jnp.float32) * (2.0**-32) + 0.5
+    return jnp.clip(u, 1e-6, 1.0 - 1e-6)
+
+
+def _tn_sample_logq(u, mu, sigma, lb, ub):
+    """Truncated-normal inverse-CDF sample + its log-density + the mass
+    term pieces, sharing one Phi evaluation set (distributions.py:40-52)."""
+    cdf_lb = _ndtr((lb - mu) / sigma)
+    cdf_ub = _ndtr((ub - mu) / sigma)
+    p = jnp.clip(cdf_lb + u * (cdf_ub - cdf_lb), 1e-6, 1.0 - 1e-6)
+    x = jnp.clip(mu + sigma * _ndtri(p), lb, ub)
+    return x, cdf_ub - cdf_lb
+
+
+def _tn_log_prob(x, mu, sigma, lb, ub):
+    z = (x - mu) / sigma
+    mass = _ndtr((ub - mu) / sigma) - _ndtr((lb - mu) / sigma)
+    log_mass = jnp.where(mass > 0, jnp.log(jnp.maximum(mass, 1e-37)), 0.0)
+    return -0.5 * z * z - jnp.log(sigma) - _HALF_LOG_2PI - log_mass
+
+
+def supports(ctx, kernel) -> bool:
+    """True if the fused kernel covers this target configuration."""
+    from smcdet_tpu.models.psf import GaussianPSF, SDSSPSF
+
+    return (
+        ctx.child_model is None
+        and ctx.model.noise in ("gaussian", "poisson")
+        and isinstance(ctx.model.psf, (GaussianPSF, SDSSPSF))
+        and jax.devices()[0].platform == "tpu"
+    )
+
+
+def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
+                 flux_is_normal):
+    HW = H * W
+
+    def kernel(
+        seed_ref,  # [2] SMEM: (seed, salt)
+        params_ref,  # [32] SMEM scalars
+        temp_ref,  # [T] SMEM per-tile temperatures (indexed by program id)
+        image_ref,  # [1, HW, 1] VMEM per-tile image
+        img_lgamma_ref,  # [1, HW, 1] VMEM lgamma(image + 1) (Poisson only)
+        counts_ref,  # [1, 1, P] VMEM int32
+        locs_y_ref,  # [1, M, P]
+        locs_x_ref,  # [1, M, P]
+        fluxes_ref,  # [1, M, P]
+        rate_ref,  # [1, HW, P]
+        pll_ref,  # [1, P]
+        lp_ref,  # [1, P]
+        out_locs_y,  # [1, M, P]
+        out_locs_x,
+        out_fluxes,
+        out_rate,
+        out_pll,
+        out_lp,
+        out_acc,  # [1, P] f32 (accept count)
+    ):
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        # fold (seed, salt, tile, block) into one 32-bit stream id
+        mixed = (
+            seed_ref[0]
+            + seed_ref[1] * jnp.int32(-1640531527)  # 0x9E3779B9
+            + t * jnp.int32(-2048144789)  # 0x85EBCA6B
+            + b * jnp.int32(-1028477387)  # 0xC2B2AE35
+        )
+        pltpu.prng_seed(mixed)
+
+        pp = params_ref
+        locs_stdev = pp[0]
+        fluxes_stdev = pp[1]
+        fluxes_min = pp[2]
+        fluxes_max = pp[3]
+        loc_low_y, loc_low_x = pp[4], pp[5]
+        loc_high_y, loc_high_x = pp[6], pp[7]
+        adu = pp[8]
+        background = pp[9]
+        noise_add = pp[10]
+        noise_mult = pp[11]
+        psf_radius = pp[12]
+        # psf params: gaussian -> pp[13]=stdev; sdss -> pp[13:19] + norm pp[19]
+        normal_tail = pp[20]
+        flux_a = pp[21]  # pareto alpha / normal mean
+        flux_b = pp[22]  # pareto lognorm-const / normal stdev
+
+        tau = temp_ref[t]
+
+        image = image_ref[0, :, :]  # [HW, 1]
+        counts = counts_ref[0]  # [1, P]
+
+        hh_i = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)
+        h_pix = (hh_i // W).astype(jnp.float32) + 0.5  # [HW, 1]
+        w_pix = (hh_i % W).astype(jnp.float32) + 0.5
+        m_iota = jax.lax.broadcasted_iota(jnp.int32, (M, P), 0)
+
+        def psf_eval(r2):
+            if psf_kind == "sdss":
+                s1, s2, sp, beta, bb, p0 = (
+                    pp[13], pp[14], pp[15], pp[16], pp[17], pp[18]
+                )
+                term1 = jnp.exp(-r2 / (2.0 * s1))
+                term2 = bb * jnp.exp(-r2 / (2.0 * s2))
+                term3 = p0 * jnp.exp(
+                    (-beta / 2.0) * jnp.log1p(r2 / (beta * sp))
+                )
+                return (term1 + term2 + term3) / ((1.0 + bb + p0) * pp[19])
+            stdev = pp[13]
+            return jnp.exp(-0.5 * r2 / (stdev * stdev)) / (
+                stdev * 2.5066282746310002
+            )
+
+        def star_image(ly, lx):
+            # ly, lx: [1, P] -> [HW, P]
+            dy = h_pix - ly
+            dx = w_pix - lx
+            in_h = jnp.abs(h_pix - 0.5 - jnp.floor(ly)) <= psf_radius
+            in_w = jnp.abs(w_pix - 0.5 - jnp.floor(lx)) <= psf_radius
+            r2 = dy * dy + dx * dx
+            return jnp.where(in_h & in_w, psf_eval(r2), 0.0)
+
+        def loglik(rate):
+            if noise == "gaussian":
+                var = noise_add + noise_mult * rate
+                ll = (
+                    -0.5 * (image - rate) ** 2 / var
+                    - 0.5 * jnp.log(var)
+                    - _HALF_LOG_2PI
+                )
+            else:
+                # lgamma is not lowered by Mosaic, but it only touches the
+                # (constant) image — precomputed outside the kernel.
+                logpmf = (
+                    image * jnp.log(rate)
+                    - rate
+                    - img_lgamma_ref[0, :, :]
+                )
+                z2 = (image - rate) ** 2 / rate
+                lognorm = -0.5 * z2 - 0.5 * jnp.log(rate) - _HALF_LOG_2PI
+                ll = jnp.where(rate > normal_tail, lognorm, logpmf)
+            return ll.sum(axis=0, keepdims=True)  # [1, P]
+
+        def flux_log_prob(f):
+            if flux_is_pareto:
+                return flux_b - (flux_a + 1.0) * jnp.log(f)
+            if flux_is_normal:
+                z = (f - flux_a) / flux_b
+                return -0.5 * z * z - jnp.log(flux_b) - _HALF_LOG_2PI
+            return jnp.zeros_like(f)
+
+        def body(i, carry):
+            locs_y, locs_x, fluxes, rate, pll, lp, acc = carry
+
+            u_j = _uniform((1, P))
+            j = jnp.minimum(
+                jnp.floor(u_j * M).astype(jnp.int32), M - 1
+            )  # [1, P]
+            onehot = (m_iota == j).astype(jnp.float32)  # [M, P]
+            active = (j < counts).astype(jnp.float32)  # [1, P]
+
+            loc_jy = (locs_y * onehot).sum(0, keepdims=True)  # [1, P]
+            loc_jx = (locs_x * onehot).sum(0, keepdims=True)
+            f_j = (fluxes * onehot).sum(0, keepdims=True)
+
+            y_prop, _ = _tn_sample_logq(
+                _uniform((1, P)), loc_jy, locs_stdev, loc_low_y, loc_high_y
+            )
+            x_prop, _ = _tn_sample_logq(
+                _uniform((1, P)), loc_jx, locs_stdev, loc_low_x, loc_high_x
+            )
+            f_prop, _ = _tn_sample_logq(
+                _uniform((1, P)), f_j, fluxes_stdev, fluxes_min, fluxes_max
+            )
+
+            old_img = star_image(loc_jy, loc_jx)  # [HW, P]
+            new_img = star_image(y_prop, x_prop)
+            delta = adu * (f_prop * new_img - f_j * old_img)
+            rate_prop = rate + active * delta
+
+            pll_prop = loglik(rate_prop)
+            safe_old = jnp.where(active > 0, f_j, fluxes_min)
+            safe_new = jnp.where(active > 0, f_prop, fluxes_min)
+            lp_prop = lp + active * (
+                flux_log_prob(safe_new) - flux_log_prob(safe_old)
+            )
+
+            log_q_fwd = (
+                _tn_log_prob(y_prop, loc_jy, locs_stdev, loc_low_y, loc_high_y)
+                + _tn_log_prob(x_prop, loc_jx, locs_stdev, loc_low_x, loc_high_x)
+                + _tn_log_prob(f_prop, f_j, fluxes_stdev, fluxes_min, fluxes_max)
+            )
+            log_q_rev = (
+                _tn_log_prob(loc_jy, y_prop, locs_stdev, loc_low_y, loc_high_y)
+                + _tn_log_prob(loc_jx, x_prop, locs_stdev, loc_low_x, loc_high_x)
+                + _tn_log_prob(f_j, f_prop, fluxes_stdev, fluxes_min, fluxes_max)
+            )
+
+            log_alpha = (
+                (lp_prop + tau * pll_prop + log_q_rev)
+                - (lp + tau * pll + log_q_fwd)
+            )
+            u_acc = _uniform((1, P))
+            accept = (
+                (u_acc <= jnp.exp(jnp.minimum(log_alpha, 0.0)))
+                & (active > 0)
+            ).astype(jnp.float32)  # [1, P]
+
+            sel = onehot * accept  # [M, P]
+            locs_y = locs_y + sel * (y_prop - loc_jy)
+            locs_x = locs_x + sel * (x_prop - loc_jx)
+            fluxes = fluxes + sel * (f_prop - f_j)
+            rate = rate + accept * (rate_prop - rate)
+            pll = pll + accept * (pll_prop - pll)
+            lp = lp + accept * (lp_prop - lp)
+            acc = acc + accept
+            return locs_y, locs_x, fluxes, rate, pll, lp, acc
+
+        init = (
+            locs_y_ref[0],
+            locs_x_ref[0],
+            fluxes_ref[0],
+            rate_ref[0],
+            pll_ref[0],
+            lp_ref[0],
+            jnp.zeros((1, P), jnp.float32),
+        )
+        locs_y, locs_x, fluxes, rate, pll, lp, acc = jax.lax.fori_loop(
+            0, num_iters, body, init
+        )
+        out_locs_y[0] = locs_y
+        out_locs_x[0] = locs_x
+        out_fluxes[0] = fluxes
+        out_rate[0] = rate
+        out_pll[0] = pll
+        out_lp[0] = lp
+        out_acc[0] = acc
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_iters", "block", "noise", "psf_kind",
+                     "flux_is_pareto", "flux_is_normal", "dims"),
+)
+def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
+         pll, lp, *, num_iters, block, noise, psf_kind, flux_is_pareto,
+         flux_is_normal, dims):
+    T, CN, M, H, W = dims
+    HW = H * W
+    P = block
+    nb = CN // P
+
+    kern = _make_kernel(H, W, M, P, num_iters, noise, psf_kind,
+                        flux_is_pareto, flux_is_normal)
+
+    # lane-major reshapes: [T, CN, ...] -> [T*nb, rows, P]
+    def to_blocks(x, rows):
+        # x: [T, CN, rows] -> [T*nb, rows, P]
+        x = x.reshape(T, nb, P, rows).transpose(0, 1, 3, 2)
+        return x.reshape(T * nb, rows, P)
+
+    locs_y = to_blocks(locs[..., 0], M)
+    locs_x = to_blocks(locs[..., 1], M)
+    fluxes_b = to_blocks(fluxes, M)
+    rate_b = to_blocks(rate.reshape(T, CN, HW), HW)
+    counts_b = counts.reshape(T * nb, 1, P)
+    pll_b = pll.reshape(T * nb, 1, P)
+    lp_b = lp.reshape(T * nb, 1, P)
+    images_b = images.reshape(T, HW, 1)
+
+    grid = (T, nb)
+
+    def row_spec(rows):
+        return pl.BlockSpec(
+            (1, rows, P), lambda t, b: (t * nb + b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [2]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params [32]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # temperature [T]
+            pl.BlockSpec((1, HW, 1), lambda t, b: (t, 0, 0),
+                         memory_space=pltpu.VMEM),  # image
+            pl.BlockSpec((1, HW, 1), lambda t, b: (t, 0, 0),
+                         memory_space=pltpu.VMEM),  # lgamma(image+1)
+            pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
+                         memory_space=pltpu.VMEM),  # counts
+            row_spec(M),
+            row_spec(M),
+            row_spec(M),
+            row_spec(HW),
+            pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
+                         memory_space=pltpu.VMEM),  # pll
+            pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
+                         memory_space=pltpu.VMEM),  # lp
+        ],
+        out_specs=[
+            row_spec(M),
+            row_spec(M),
+            row_spec(M),
+            row_spec(HW),
+            pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T * nb, M, P), jnp.float32),
+            jax.ShapeDtypeStruct((T * nb, M, P), jnp.float32),
+            jax.ShapeDtypeStruct((T * nb, M, P), jnp.float32),
+            jax.ShapeDtypeStruct((T * nb, HW, P), jnp.float32),
+            jax.ShapeDtypeStruct((T * nb, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((T * nb, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((T * nb, 1, P), jnp.float32),
+        ],
+    )(seed, params, temperature, images_b,
+      jax.lax.lgamma(images_b + 1.0) if noise == "poisson"
+      else jnp.zeros_like(images_b),
+      counts_b, locs_y, locs_x, fluxes_b, rate_b, pll_b, lp_b)
+
+    o_ly, o_lx, o_f, o_rate, o_pll, o_lp, o_acc = out
+
+    def from_blocks(x, rows):
+        x = x.reshape(T, nb, rows, P).transpose(0, 1, 3, 2)
+        return x.reshape(T, CN, rows)
+
+    locs_out = jnp.stack(
+        [from_blocks(o_ly, M), from_blocks(o_lx, M)], axis=-1
+    )
+    fluxes_out = from_blocks(o_f, M)
+    rate_out = from_blocks(o_rate, HW).reshape(T, CN, H, W)
+    pll_out = o_pll.reshape(T, CN)
+    lp_out = o_lp.reshape(T, CN)
+    acc_out = o_acc.reshape(T, CN) / num_iters
+    return locs_out, fluxes_out, rate_out, pll_out, lp_out, acc_out
+
+
+def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
+                     parent_ll, logprior, block: int = 256):
+    """Run ``kernel.num_iters`` fused MH sweeps; returns
+    ``(locs, fluxes, rate, parent_ll, logprior, accept_frac)``.
+
+    Inputs are the [*, N] batched particle arrays of the XLA path with the
+    batch flattened to ``[T, CN]`` (T = tiles of ctx.image). See module
+    docstring for supported targets.
+    """
+    from smcdet_tpu.models.psf import SDSSPSF
+
+    model = ctx.model
+    prior = ctx.prior
+    H, W = model.height, model.width
+    batch = counts.shape
+    T = ctx.image.shape[0] if ctx.image.ndim > 2 else 1
+    CN = int(np.prod(batch)) // T
+    M = fluxes.shape[-1]
+
+    psf = model.psf
+    is_sdss = isinstance(psf, SDSSPSF)
+    params = jnp.zeros(32, dtype=jnp.float32)
+    vals = {
+        0: kernel.locs_stdev,
+        1: kernel.fluxes_stdev,
+        2: kernel.fluxes_min,
+        3: kernel.fluxes_max,
+        4: prior.loc_low[0],
+        5: prior.loc_low[1],
+        6: prior.loc_high[0],
+        7: prior.loc_high[1],
+        8: model.adu_per_nmgy,
+        9: model.background,
+        10: model.noise_additive,
+        11: model.noise_multiplicative,
+        12: float(model.psf_radius),
+        20: float(model.normal_tail_threshold),
+    }
+    if is_sdss:
+        vals.update({13: psf.sigma1, 14: psf.sigma2, 15: psf.sigmap,
+                     16: psf.beta, 17: psf.b, 18: psf.p0,
+                     19: psf.normalizing_constant})
+    else:
+        vals[13] = psf.stdev
+
+    flux_is_pareto = flux_is_normal = False
+    if prior.flux is not None:
+        from smcdet_tpu.distributions import TruncatedPareto
+        from smcdet_tpu.models.priors import NormalFlux, ParetoFlux
+
+        if isinstance(prior.flux, TruncatedPareto):
+            flux_is_pareto = True
+            vals[21] = prior.flux.alpha
+            vals[22] = prior.flux.logpdf_norm_const
+        elif isinstance(prior.flux, ParetoFlux):
+            flux_is_pareto = True
+            vals[21] = prior.flux.alpha
+            vals[22] = (
+                jnp.log(prior.flux.alpha)
+                + prior.flux.alpha * jnp.log(prior.flux.scale)
+            )
+        elif isinstance(prior.flux, NormalFlux):
+            flux_is_normal = True
+            vals[21] = prior.flux.mean
+            vals[22] = prior.flux.stdev
+        else:  # pragma: no cover
+            raise NotImplementedError(type(prior.flux))
+    for i, v in vals.items():
+        params = params.at[i].set(jnp.asarray(v, dtype=jnp.float32))
+
+    # pad CN to a multiple of block with inert particles (count 0)
+    pad = (-CN) % block
+    counts2 = counts.reshape(T, CN)
+    locs2 = locs.reshape(T, CN, M, 2)
+    fluxes2 = fluxes.reshape(T, CN, M)
+    rate2 = rate.reshape(T, CN, H, W)
+    pll2 = parent_ll.reshape(T, CN)
+    lp2 = logprior.reshape(T, CN)
+    if pad:
+        counts2 = jnp.pad(counts2, ((0, 0), (0, pad)))
+        locs2 = jnp.pad(locs2, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        fluxes2 = jnp.pad(fluxes2, ((0, 0), (0, pad), (0, 0)))
+        rate2 = jnp.pad(rate2, ((0, 0), (0, pad), (0, 0), (0, 0)),
+                        constant_values=1.0)
+        pll2 = jnp.pad(pll2, ((0, 0), (0, pad)))
+        lp2 = jnp.pad(lp2, ((0, 0), (0, pad)))
+
+    temperature = jnp.broadcast_to(
+        jnp.asarray(ctx.temperature, dtype=jnp.float32).reshape(T, -1)[:, 0],
+        (T,),
+    )
+    kdata = jax.random.key_data(key).astype(jnp.uint32)
+    seed = jnp.asarray(
+        [kdata.ravel()[0].astype(jnp.int32), kdata.ravel()[-1].astype(jnp.int32)],
+        dtype=jnp.int32,
+    )
+
+    o = _run(
+        seed, params, temperature, ctx.image.reshape(T, H, W)
+        if ctx.image.size == T * H * W
+        else jnp.broadcast_to(
+            ctx.image.reshape(T, 1, 1, H, W)[:, 0, 0], (T, H, W)
+        ),
+        counts2, locs2, fluxes2, rate2, pll2, lp2,
+        num_iters=kernel.num_iters, block=block, noise=model.noise,
+        psf_kind="sdss" if is_sdss else "gaussian",
+        flux_is_pareto=flux_is_pareto, flux_is_normal=flux_is_normal,
+        dims=(T, CN + pad, M, H, W),
+    )
+    locs_out, fluxes_out, rate_out, pll_out, lp_out, acc = o
+    # strip padding, restore batch shape
+    locs_out = locs_out[:, :CN].reshape(batch + (M, 2))
+    fluxes_out = fluxes_out[:, :CN].reshape(batch + (M,))
+    rate_out = rate_out[:, :CN].reshape(batch + (H, W))
+    pll_out = pll_out[:, :CN].reshape(batch)
+    lp_out = lp_out[:, :CN].reshape(batch)
+    acc = acc[:, :CN].reshape(batch)
+    return locs_out, fluxes_out, rate_out, pll_out, lp_out, acc

@@ -20,5 +20,8 @@ import jax  # noqa: E402
 # The env var alone is not enough on this image: the TPU platform plugin
 # overrides JAX_PLATFORMS at import time, silently moving "CPU" tests onto
 # the real chip (and its tunnel latency). The config update wins.
-jax.config.update("jax_platforms", "cpu")
+# SMCDET_TEST_TPU=1 opts into running on the real chip (tests/test_pallas.py
+# needs it — Mosaic kernels cannot lower on the CPU mesh).
+if os.environ.get("SMCDET_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

@@ -1,0 +1,148 @@
+"""Tests for the fused Pallas MH-sweep kernel (ops/pallas_sweep.py).
+
+These only run when a real TPU is attached (the CPU test mesh cannot lower
+Mosaic kernels); CI covers the XLA path, and the driver's bench runs
+exercise this one. Correctness is statistical: the kernel uses its own
+PRNG stream, so we compare equilibrium summaries against the XLA path,
+plus deterministic checks of the shared special-function math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smcdet_tpu.ops.pallas_sweep import _erf_poly, _ndtr
+
+requires_tpu = pytest.mark.skipif(
+    jax.devices()[0].platform != "tpu", reason="needs a TPU chip"
+)
+
+
+class TestSpecialFunctions:
+    def test_erf_poly_accuracy(self):
+        # the in-kernel Phi must match jax's to ~1.5e-7 so the XLA and
+        # Pallas proposal densities are interchangeable diagnostics
+        x = jnp.linspace(-4.0, 4.0, 4001)
+        np.testing.assert_allclose(
+            np.asarray(_erf_poly(x)),
+            np.asarray(jax.lax.erf(x)),
+            atol=5e-6,  # 1.5e-7 polynomial error + TPU f32 exp rounding
+        )
+
+    def test_ndtr_matches_scipy(self):
+        from scipy.stats import norm
+
+        z = np.linspace(-5.0, 5.0, 101)
+        np.testing.assert_allclose(
+            np.asarray(_ndtr(jnp.asarray(z, dtype=jnp.float32))),
+            norm.cdf(z),
+            atol=1e-6,
+        )
+
+
+@requires_tpu
+class TestFusedSweepOnTPU:
+    def _setup(self, noise):
+        from smcdet_tpu.inference.kernels import SingleComponentMH, TargetContext
+        from smcdet_tpu.models.imaging import ImageModel, M71ImageModel
+        from smcdet_tpu.models.priors import (
+            M71Prior,
+            NormalFlux,
+            PointProcessPrior,
+            UniformCounts,
+        )
+        from smcdet_tpu.models.psf import GaussianPSF
+
+        if noise == "gaussian":
+            prior = M71Prior(
+                min_objects=0, max_objects=4, counts_rate=0.03,
+                image_height=8, image_width=8, flux_alpha=0.214,
+                flux_lower=0.252, flux_upper=1804.679, pad=1.0,
+            )
+            model = M71ImageModel(
+                image_height=8, image_width=8, background=865.0,
+                adu_per_nmgy=856.0,
+                psf_params=(1.51, 4.85, 1.32, 3.0, 0.09, 0.002),
+                psf_radius=8, noise_multiplicative=1.94,
+            )
+            kw = dict(fluxes_min=jnp.float32(0.252),
+                      fluxes_max=jnp.float32(1804.679),
+                      fluxes_stdev=jnp.float32(5.0))
+        else:
+            prior = PointProcessPrior(
+                min_objects=0, max_objects=4, image_height=8, image_width=8,
+                pad=1.0, counts=UniformCounts(0, 4),
+                flux=NormalFlux(mean=jnp.float32(2000.0),
+                                stdev=jnp.float32(300.0)),
+            )
+            model = ImageModel(
+                height=8, width=8, psf_radius=4, noise="poisson",
+                background=jnp.float32(100.0),
+                psf=GaussianPSF(stdev=jnp.float32(1.0)),
+            )
+            kw = dict(fluxes_min=jnp.float32(500.0),
+                      fluxes_max=jnp.float32(5000.0),
+                      fluxes_stdev=jnp.float32(60.0))
+        kernel = SingleComponentMH(
+            num_iters=40, locs_stdev=jnp.float32(0.25), **kw
+        )
+        T, C, N = 2, 5, 256
+        key = jax.random.key(0)
+        strata, locs, fluxes = prior.sample_stratified(key, N, (T,))
+        counts = jnp.broadcast_to(strata[None, :, None], (T, C, N))
+        images = jnp.abs(
+            model.sample(
+                jax.random.key(1),
+                locs[:, -1, 0],
+                fluxes[:, -1, 0],
+            )
+        )
+        ctx = TargetContext(
+            prior=prior, model=model, image=images[:, None, None],
+            temperature=jnp.full((T, 1, 1), 0.8),
+        )
+        return kernel, ctx, counts, locs, fluxes, model, prior, images
+
+    @pytest.mark.parametrize("noise", ["gaussian", "poisson"])
+    def test_matches_xla_equilibrium(self, noise):
+        kernel, ctx, counts, locs, fluxes, model, prior, images = (
+            self._setup(noise)
+        )
+        kx = kernel.replace(backend="xla")
+        kp = kernel.replace(backend="pallas")
+        stx, accx = jax.jit(
+            lambda k, l, f: kx.run(k, ctx, counts, l, f)
+        )(jax.random.key(5), locs, fluxes)
+        stp, accp = jax.jit(
+            lambda k, l, f: kp.run(k, ctx, counts, l, f)
+        )(jax.random.key(5), locs, fluxes)
+
+        # tempered-target quantiles agree (statistical equivalence)
+        ltx = np.asarray(stx.logprior + 0.8 * stx.parent_ll).ravel()
+        ltp = np.asarray(stp.logprior + 0.8 * stp.parent_ll).ravel()
+        for q in (25, 50, 75):
+            a, b = np.percentile(ltx, q), np.percentile(ltp, q)
+            assert abs(a - b) <= 0.05 * abs(a) + 5.0, (q, a, b)
+
+        # caches remain consistent with full recomputation
+        pll = model.loglikelihood(ctx.image, stp.locs, stp.fluxes)
+        drift = np.abs(np.asarray(pll - stp.parent_ll))
+        scale = np.maximum(np.abs(np.asarray(pll)), 1.0)
+        # f32 incremental accumulation drift over num_iters sweeps
+        assert (drift / scale).max() < 2e-3
+        lp = prior.log_prob(counts, stp.locs, stp.fluxes)
+        assert np.abs(np.asarray(lp - stp.logprior)).max() < 0.01
+
+    def test_inactive_slots_untouched(self):
+        kernel, ctx, counts, locs, fluxes, *_ = self._setup("gaussian")
+        kp = kernel.replace(backend="pallas")
+        stp, _ = jax.jit(
+            lambda k, l, f: kp.run(k, ctx, counts, l, f)
+        )(jax.random.key(6), locs, fluxes)
+        M = fluxes.shape[-1]
+        inactive = ~(jnp.arange(M) < counts[..., None])
+        np.testing.assert_array_equal(
+            np.asarray(stp.fluxes)[np.asarray(inactive)],
+            np.asarray(fluxes)[np.asarray(inactive)],
+        )

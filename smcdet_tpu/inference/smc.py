@@ -29,7 +29,7 @@ Key architectural changes vs the reference:
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,9 @@ class SMCConfig:
     # Print temperature/acceptance ranges every k iterations (0 = silent),
     # mirroring sampler.py:233-242 via jax.debug.print.
     print_every: int = struct.field(pytree_node=False, default=0)
+    # Record per-iteration temperature/ESS/acceptance trajectories in
+    # SMCResult.history (diagnostics the reference only prints).
+    record_history: bool = struct.field(pytree_node=False, default=False)
 
 
 class SMCState(NamedTuple):
@@ -69,6 +72,7 @@ class SMCState(NamedTuple):
     ess: jax.Array  # [T, C]
     acc_rate: jax.Array  # [T]
     iteration: jax.Array  # scalar i32
+    history: Optional[dict] = None  # {temperature, ess, acc_rate} buffers
 
 
 class SMCResult(NamedTuple):
@@ -87,6 +91,7 @@ class SMCResult(NamedTuple):
     ess: jax.Array  # [T, C]
     num_iters: jax.Array  # scalar
     acc_rate: jax.Array  # [T]
+    history: Optional[dict] = None  # [max_iters, ...] trajectories
 
 
 def _context(prior, model, images, temperature):
@@ -201,6 +206,15 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
         ess=jnp.full((T, C), float(N)),
         acc_rate=jnp.zeros(T),
         iteration=jnp.asarray(0, dtype=jnp.int32),
+        history=(
+            {
+                "temperature": jnp.zeros((cfg.max_smc_iters, T)),
+                "ess": jnp.zeros((cfg.max_smc_iters, T, C)),
+                "acc_rate": jnp.zeros((cfg.max_smc_iters, T)),
+            }
+            if cfg.record_history
+            else None
+        ),
     )
     state = _temper_and_reweight(prior, model, images, cfg, strata, state)
 
@@ -247,6 +261,20 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
         state = _temper_and_reweight(
             prior, model, images, cfg, strata, state, loglik=loglik
         )
+
+        if cfg.record_history:
+            i = state.iteration - 1
+            state = state._replace(
+                history={
+                    "temperature": state.history["temperature"]
+                    .at[i]
+                    .set(state.temperature),
+                    "ess": state.history["ess"].at[i].set(state.ess),
+                    "acc_rate": state.history["acc_rate"]
+                    .at[i]
+                    .set(state.acc_rate),
+                }
+            )
 
         if cfg.print_every:
             jax.lax.cond(
@@ -312,6 +340,7 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
         ess=state.ess,
         num_iters=state.iteration,
         acc_rate=state.acc_rate,
+        history=state.history,
     )
 
 

@@ -148,7 +148,9 @@ def run_experiment(
         runtime = time.perf_counter() - start
 
         arrays = {
-            f: np.asarray(getattr(result, f)) for f in result._fields
+            f: np.asarray(getattr(result, f))
+            for f in result._fields
+            if getattr(result, f) is not None
         }
         arrays["runtime"] = np.asarray(runtime)
         arrays["image_index"] = np.arange(lo, hi)

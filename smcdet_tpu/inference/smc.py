@@ -58,6 +58,12 @@ class SMCConfig:
     # Record per-iteration temperature/ESS/acceptance trajectories in
     # SMCResult.history (diagnostics the reference only prints).
     record_history: bool = struct.field(pytree_node=False, default=False)
+    # Fixed tempering ladder (must end at 1.0) instead of adaptive ESS
+    # bisection — the deprecated jsm2024 experiments' scheme
+    # (SURVEY.md §2 #19); None = adaptive.
+    fixed_schedule: tuple | None = struct.field(
+        pytree_node=False, default=None
+    )
 
 
 class SMCState(NamedTuple):
@@ -125,11 +131,19 @@ def _temper_and_reweight(prior, model, images, cfg, strata, state,
             images[:, None, None], state.locs, state.fluxes
         )  # [T, C, N]
 
-    ess_target = cfg.ess_threshold_prop * N
-    delta_c = solve_tempering_step(
-        loglik, state.temperature[:, None], ess_target
-    )  # [T, C]
-    delta = jnp.where(done, 0.0, delta_c.min(-1))  # [T]
+    if cfg.fixed_schedule is not None:
+        sched = jnp.asarray(cfg.fixed_schedule, dtype=jnp.float32)
+        idx = jnp.minimum(state.iteration, len(cfg.fixed_schedule) - 1)
+        target = sched[idx]
+        delta = jnp.where(
+            done, 0.0, jnp.clip(target - state.temperature, 0.0, 1.0)
+        )
+    else:
+        ess_target = cfg.ess_threshold_prop * N
+        delta_c = solve_tempering_step(
+            loglik, state.temperature[:, None], ess_target
+        )  # [T, C]
+        delta = jnp.where(done, 0.0, delta_c.min(-1))  # [T]
 
     temperature_prev = state.temperature
     temperature = jnp.clip(state.temperature + delta, 0.0, 1.0)

@@ -169,3 +169,51 @@ class TestSamplerWrapper:
         sampler.summarize()
         out = capsys.readouterr().out
         assert "posterior" in out
+
+
+class TestMALA:
+    def test_mala_kernel_end_to_end(self):
+        from smcdet_tpu.inference.kernels import SingleComponentMALA
+
+        image, prior, model, _ = two_star_image()
+        kernel = SingleComponentMALA(
+            num_iters=15,
+            locs_step=jnp.float32(0.15),
+            fluxes_step=jnp.float32(30.0),
+            fluxes_min=jnp.float32(100.0),
+            fluxes_max=jnp.float32(5000.0),
+        )
+        cfg = SMCConfig(
+            num_catalogs=96,
+            resample_method="systematic",
+            max_smc_iters=40,
+            flux_detection_threshold=200.0,
+        )
+        r = jax.jit(run_csmc)(
+            jax.random.key(2), image[None], prior, model, kernel, cfg
+        )
+        np.testing.assert_allclose(np.asarray(r.temperature), 1.0)
+        lz = np.asarray(r.log_normalizing_constant[0])
+        pmf = np.exp(lz - lz.max())
+        pmf = pmf / pmf.sum()
+        assert pmf.argmax() == 2, pmf
+        assert 0.01 < float(r.acc_rate[0]) <= 1.0
+
+
+class TestFixedSchedule:
+    def test_ladder_followed_exactly(self):
+        image, prior, model, kernel = two_star_image()
+        ladder = (0.1, 0.3, 0.6, 1.0)
+        cfg = SMCConfig(
+            num_catalogs=64,
+            max_smc_iters=20,
+            record_history=True,
+            fixed_schedule=ladder,
+        )
+        r = jax.jit(run_csmc)(
+            jax.random.key(3), image[None], prior, model, kernel, cfg
+        )
+        assert int(r.num_iters) == 3  # iterations after the init temper
+        temps = np.asarray(r.history["temperature"])[:3, 0]
+        np.testing.assert_allclose(temps, [0.3, 0.6, 1.0], atol=1e-6)
+        np.testing.assert_allclose(float(r.temperature[0]), 1.0)

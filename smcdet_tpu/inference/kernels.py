@@ -304,6 +304,14 @@ class SingleComponentMH:
         the per-batch acceptance rate (kernel.py:130 reports the last
         sweep's; the Pallas path reports the average over sweeps)."""
         state = init_kernel_state(ctx, counts, locs, fluxes)
+        return self.run_from_state(key, ctx, counts, state)
+
+    def run_from_state(self, key, ctx: TargetContext, counts,
+                       state: KernelState):
+        """Like ``run`` but reuses caller-provided caches (rate image,
+        likelihood, prior) — the SMC loop carries them across iterations
+        through resampling instead of re-rendering every catalog."""
+        locs, fluxes = state.locs, state.fluxes
 
         if self.backend != "xla":
             from smcdet_tpu.ops import pallas_sweep
@@ -491,7 +499,10 @@ class SingleComponentMALA:
 
     def run(self, key, ctx: TargetContext, counts, locs, fluxes):
         state = init_kernel_state(ctx, counts, locs, fluxes)
+        return self.run_from_state(key, ctx, counts, state)
 
+    def run_from_state(self, key, ctx: TargetContext, counts,
+                       state: KernelState):
         def body(carry, k):
             st, _ = carry
             st, accept = self.sweep(k, ctx, counts, st)

@@ -35,7 +35,11 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from smcdet_tpu.inference.kernels import TargetContext
+from smcdet_tpu.inference.kernels import (
+    KernelState,
+    TargetContext,
+    init_kernel_state,
+)
 from smcdet_tpu.ops.catalogs import prune_catalog, slot_mask
 from smcdet_tpu.ops.resampling import gather_particles, resample_indices
 from smcdet_tpu.ops.tempering import solve_tempering_step
@@ -64,6 +68,14 @@ class SMCConfig:
     fixed_schedule: tuple | None = struct.field(
         pytree_node=False, default=None
     )
+    # Re-render the mutation caches every k iterations. k=1 (default)
+    # re-renders each iteration like the reference (sampler.py:100-103);
+    # k>1 carries the caches through resampling instead — cheaper per
+    # iteration but f32 accumulation drift in the incrementally updated
+    # rate images loosens the adaptive tempering steps (measured: 23
+    # iterations at k=1 vs 72 at k=8 on the M71 benchmark), so it only
+    # pays off when the render is very expensive (large tiles).
+    refresh_every: int = struct.field(pytree_node=False, default=1)
 
 
 class SMCState(NamedTuple):
@@ -78,6 +90,11 @@ class SMCState(NamedTuple):
     ess: jax.Array  # [T, C]
     acc_rate: jax.Array  # [T]
     iteration: jax.Array  # scalar i32
+    # Mutation-kernel caches carried across iterations (resampled with the
+    # particles, refreshed every cfg.refresh_every iterations to bound f32
+    # accumulation drift). rate: [T, C, N, H, W]; logprior: [T, C, N].
+    rate: Optional[jax.Array] = None
+    logprior: Optional[jax.Array] = None
     history: Optional[dict] = None  # {temperature, ess, acc_rate} buffers
 
 
@@ -220,6 +237,8 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
         ess=jnp.full((T, C), float(N)),
         acc_rate=jnp.zeros(T),
         iteration=jnp.asarray(0, dtype=jnp.int32),
+        rate=jnp.zeros((T, C, N, model.height, model.width)),
+        logprior=jnp.zeros((T, C, N)),
         history=(
             {
                 "temperature": jnp.zeros((cfg.max_smc_iters, T)),
@@ -230,11 +249,21 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
             else None
         ),
     )
-    state = _temper_and_reweight(prior, model, images, cfg, strata, state)
+    # seed the mutation-kernel caches once; thereafter they ride along
+    # through resampling (a full re-render costs an M-star render per
+    # catalog per iteration — the single biggest per-iteration expense)
+    ctx0 = _context(prior, model, images, state.temperature)
+    kstate0 = init_kernel_state(ctx0, counts_b, locs, fluxes)
+    state = state._replace(rate=kstate0.rate, logprior=kstate0.logprior)
+    state = _temper_and_reweight(
+        prior, model, images, cfg, strata, state, loglik=kstate0.parent_ll
+    )
 
     # ------------------------------------------------------------------
     # temper/resample/mutate loop (sampler.py:230-247)
     # ------------------------------------------------------------------
+    HW = model.height * model.width
+
     def cond(state):
         return jnp.any(state.temperature < 1.0) & (
             state.iteration < cfg.max_smc_iters
@@ -243,25 +272,75 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
     def body(state):
         key, k_res, k_mut = jax.random.split(state.key, 3)
         done = state.temperature >= 1.0
+        keep = done[:, None, None]
 
         # resample within each stratum (sampler.py:127-169)
         idx = resample_indices(
             k_res, state.weights, N, cfg.resample_method
         )  # [T, C, N]
-        locs, fluxes, loglik = gather_particles(
-            idx, state.locs, state.fluxes, state.loglik, particle_axis=2
-        )
-        keep = done[:, None, None]
-        locs = jnp.where(keep[..., None, None], state.locs, locs)
-        fluxes = jnp.where(keep[..., None], state.fluxes, fluxes)
+        ctx = _context(prior, model, images, state.temperature)
+        if cfg.refresh_every == 1:
+            # re-render the caches from the resampled particles (exact)
+            locs, fluxes = gather_particles(
+                idx, state.locs, state.fluxes, particle_axis=2
+            )
+            locs = jnp.where(keep[..., None, None], state.locs, locs)
+            fluxes = jnp.where(keep[..., None], state.fluxes, fluxes)
+            ks = init_kernel_state(ctx, counts_b, locs, fluxes)
+            rate, loglik, logprior = ks.rate, ks.parent_ll, ks.logprior
+        else:
+            # carry the caches through the permutation; refresh every k
+            # iterations to bound f32 accumulation drift
+            locs, fluxes, loglik, logprior, rate_flat = gather_particles(
+                idx,
+                state.locs,
+                state.fluxes,
+                state.loglik,
+                state.logprior,
+                state.rate.reshape(T, C, N, HW),
+                particle_axis=2,
+            )
+            locs = jnp.where(keep[..., None, None], state.locs, locs)
+            fluxes = jnp.where(keep[..., None], state.fluxes, fluxes)
+            loglik = jnp.where(keep, state.loglik, loglik)
+            logprior = jnp.where(keep, state.logprior, logprior)
+            rate = jnp.where(
+                keep[..., None, None],
+                state.rate,
+                rate_flat.reshape(state.rate.shape),
+            )
+
+            def refresh(_):
+                ks = init_kernel_state(ctx, counts_b, locs, fluxes)
+                return ks.rate, ks.parent_ll, ks.logprior
+
+            rate, loglik, logprior = jax.lax.cond(
+                state.iteration % cfg.refresh_every
+                == cfg.refresh_every - 1,
+                refresh,
+                lambda _: (rate, loglik, logprior),
+                operand=None,
+            )
         weights = jnp.where(keep, state.weights, 1.0 / N)
 
-        # mutate (sampler.py:171-179 → kernel.run)
-        ctx = _context(prior, model, images, state.temperature)
-        kstate, acc_rate = kernel.run(k_mut, ctx, counts_b, locs, fluxes)
+        # mutate (sampler.py:171-179 → kernel.run_from_state)
+        kstate_in = KernelState(
+            locs=locs,
+            fluxes=fluxes,
+            rate=rate,
+            child_rate=None,
+            parent_ll=loglik,
+            child_ll=None,
+            logprior=logprior,
+        )
+        kstate, acc_rate = kernel.run_from_state(
+            k_mut, ctx, counts_b, kstate_in
+        )
         locs = jnp.where(keep[..., None, None], state.locs, kstate.locs)
         fluxes = jnp.where(keep[..., None], state.fluxes, kstate.fluxes)
-        loglik = jnp.where(keep, loglik, kstate.parent_ll)
+        loglik = jnp.where(keep, state.loglik, kstate.parent_ll)
+        logprior = jnp.where(keep, state.logprior, kstate.logprior)
+        rate = jnp.where(keep[..., None, None], state.rate, kstate.rate)
         acc_tile = acc_rate.mean(-1)  # [T]
 
         state = state._replace(
@@ -269,6 +348,8 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
             locs=locs,
             fluxes=fluxes,
             weights=weights,
+            rate=rate,
+            logprior=logprior,
             acc_rate=jnp.where(done, state.acc_rate, acc_tile),
             iteration=state.iteration + 1,
         )

@@ -14,6 +14,12 @@ from smcdet_tpu.inference.mcmc import (  # noqa: F401
     MHsampler,
     run_mh,
 )
+from smcdet_tpu.inference.transdimensional import (  # noqa: F401
+    BirthDeathMH,
+    TDSMCConfig,
+    TDSMCResult,
+    run_tdsmc,
+)
 from smcdet_tpu.inference.smc import (  # noqa: F401
     SMCConfig,
     SMCResult,

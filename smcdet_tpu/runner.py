@@ -78,6 +78,68 @@ def _load_tiles(cfg: ExperimentConfig):
     return simulate_tiles(cfg)
 
 
+def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
+    """Per-image pipeline: tile -> CS-SMC -> divide-and-conquer aggregate
+    (the reference's run_smc.py:124-156 flow). Each image in the batch is
+    processed independently; results are whole-image catalogs stacked over
+    the batch."""
+    from smcdet_tpu.inference.aggregate import Aggregate, expand_prior
+    from smcdet_tpu.inference.smc import SMCSampler
+
+    # the config describes the full image; per-tile SMC needs tile-level
+    # objects (count-prior rate rescaled to the padded tile area)
+    td = cfg.sampler.tile_dim
+    tile_prior = expand_prior(prior, td, td, prior.max_objects)
+    tile_model = model.replace(height=td, width=td)
+
+    def run(key, imgs):
+        outs = []
+        for i in range(imgs.shape[0]):
+            k_smc, k_agg = jax.random.split(jax.random.fold_in(key, i))
+            sampler = SMCSampler(
+                image=imgs[i],
+                tile_dim=td,
+                Prior=tile_prior,
+                ImageModel=tile_model,
+                MutationKernel=kernel,
+                num_catalogs=smc_cfg.num_catalogs,
+                ess_threshold_prop=smc_cfg.ess_threshold_prop,
+                resample_method=smc_cfg.resample_method,
+                flux_detection_threshold=smc_cfg.flux_detection_threshold,
+                max_smc_iters=smc_cfg.max_smc_iters,
+            )
+            sampler.run(k_smc)
+            agg = Aggregate.from_smc(
+                sampler,
+                resample_method=cfg.aggregation.resample_method,
+                ess_threshold_prop=cfg.aggregation.ess_threshold_prop,
+                max_smc_iters=cfg.aggregation.max_smc_iters,
+                max_objects_cap=cfg.aggregation.max_objects_cap,
+            )
+            agg.run(k_agg)
+            outs.append(
+                {
+                    "counts": agg.state.counts[0, 0],
+                    "locs": agg.state.locs[0, 0],
+                    "fluxes": agg.state.fluxes[0, 0],
+                    "pruned_counts": agg.pruned_counts[0, 0],
+                    "pruned_locs": agg.pruned_locs[0, 0],
+                    "pruned_fluxes": agg.pruned_fluxes[0, 0],
+                    "weights": agg.state.weights[0, 0],
+                    "log_normalizing_constant": agg.state.log_z[0, 0],
+                }
+            )
+        stacked = {
+            k: jnp.stack([o[k] for o in outs]) for k in outs[0]
+        }
+        from collections import namedtuple
+
+        Result = namedtuple("AggregatedResult", sorted(stacked))
+        return Result(**{k: stacked[k] for k in sorted(stacked)})
+
+    return run
+
+
 def run_experiment(
     cfg: ExperimentConfig,
     method: str = "smc",
@@ -111,9 +173,16 @@ def run_experiment(
             max_smc_iters=cfg.sampler.max_smc_iters,
             flux_detection_threshold=cfg.sampler.flux_detection_threshold,
         )
-        run = jax.jit(
-            lambda key, imgs: run_csmc(key, imgs, prior, model, kernel, smc_cfg)
-        )
+        if cfg.aggregation.enabled:
+            run = _make_smc_aggregate_runner(
+                cfg, prior, model, kernel, smc_cfg
+            )
+        else:
+            run = jax.jit(
+                lambda key, imgs: run_csmc(
+                    key, imgs, prior, model, kernel, smc_cfg
+                )
+            )
     elif method == "mcmc":
         from smcdet_tpu.inference.mcmc import MCMCConfig, run_mh
 

@@ -129,3 +129,60 @@ class TestRunner:
         out = Path(cfg.output_dir) / cfg.name
         files = sorted(p.name for p in out.glob("smc_batch*.npz"))
         assert files == ["smc_batch0000.npz"]
+
+
+class TestAggregationRunner:
+    def test_smc_plus_aggregation_pipeline(self, tmp_path):
+        import dataclasses
+
+        cfg = ExperimentConfig(
+            name="dnc",
+            seed=4,
+            num_images=2,
+            batch_size=2,
+            output_dir=str(tmp_path),
+            prior=PriorConfig(
+                family="pareto_star",
+                min_objects=0,
+                max_objects=3,
+                image_height=16,
+                image_width=16,
+                pad=1.0,
+                flux_scale=600.0,
+                flux_alpha=1.2,
+            ),
+            image_model=ImageModelConfig(
+                kind="gaussian",
+                image_height=16,
+                image_width=16,
+                background=150.0,
+                psf_radius=4,
+                psf_stdev=1.0,
+            ),
+            kernel=KernelConfig(
+                kind="mh",
+                num_iters=15,
+                locs_stdev=0.25,
+                fluxes_stdev=80.0,
+                fluxes_min=500.0,
+                fluxes_max=50000.0,
+            ),
+            sampler=SamplerConfig(
+                num_catalogs=48,
+                max_smc_iters=20,
+                flux_detection_threshold=650.0,
+                tile_dim=8,
+            ),
+        )
+        from smcdet_tpu.config import AggregationConfig
+
+        cfg.aggregation = AggregationConfig(
+            enabled=True, max_smc_iters=20
+        )
+        out = run_experiment(cfg, method="smc")
+        res = load_results(out, "smc")
+        # whole-image catalogs: slot axis grew through the joins
+        assert res["pruned_counts"].shape[0] == 2
+        assert res["locs"].shape[-2] >= 3
+        w = res["weights"]
+        np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-4)

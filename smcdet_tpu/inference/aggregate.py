@@ -119,14 +119,13 @@ def _side_mask_fn(axis: int, boundary: int, height: int, width: int):
     """
 
     def side_mask(loc):
+        # flat-pixel mask [..., H*W] (hot paths carry pixels flat; see
+        # ImageModel.star_image_flat)
         on_side1 = loc[..., axis] <= boundary  # [...]
-        if axis == 0:
-            pix = jnp.arange(height) < boundary  # [H]
-            m = jnp.where(on_side1[..., None], pix, ~pix)  # [..., H]
-            return m[..., :, None]  # [..., H, 1] broadcasts over W
-        pix = jnp.arange(width) < boundary  # [W]
-        m = jnp.where(on_side1[..., None], pix, ~pix)  # [..., W]
-        return m[..., None, :]  # [..., 1, W]
+        p = jnp.arange(height * width)
+        coord = p // width if axis == 0 else p % width
+        pix = coord < boundary  # [HW]
+        return jnp.where(on_side1[..., None], pix, ~pix)  # [..., HW]
 
     return side_mask
 

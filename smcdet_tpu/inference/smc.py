@@ -92,7 +92,7 @@ class SMCState(NamedTuple):
     iteration: jax.Array  # scalar i32
     # Mutation-kernel caches carried across iterations (resampled with the
     # particles, refreshed every cfg.refresh_every iterations to bound f32
-    # accumulation drift). rate: [T, C, N, H, W]; logprior: [T, C, N].
+    # accumulation drift). rate: [T, C, N, H*W] flat; logprior: [T, C, N].
     rate: Optional[jax.Array] = None
     logprior: Optional[jax.Array] = None
     history: Optional[dict] = None  # {temperature, ess, acc_rate} buffers
@@ -237,7 +237,7 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
         ess=jnp.full((T, C), float(N)),
         acc_rate=jnp.zeros(T),
         iteration=jnp.asarray(0, dtype=jnp.int32),
-        rate=jnp.zeros((T, C, N, model.height, model.width)),
+        rate=jnp.zeros((T, C, N, model.height * model.width)),
         logprior=jnp.zeros((T, C, N)),
         history=(
             {
@@ -291,24 +291,20 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
         else:
             # carry the caches through the permutation; refresh every k
             # iterations to bound f32 accumulation drift
-            locs, fluxes, loglik, logprior, rate_flat = gather_particles(
+            locs, fluxes, loglik, logprior, rate = gather_particles(
                 idx,
                 state.locs,
                 state.fluxes,
                 state.loglik,
                 state.logprior,
-                state.rate.reshape(T, C, N, HW),
+                state.rate,
                 particle_axis=2,
             )
             locs = jnp.where(keep[..., None, None], state.locs, locs)
             fluxes = jnp.where(keep[..., None], state.fluxes, fluxes)
             loglik = jnp.where(keep, state.loglik, loglik)
             logprior = jnp.where(keep, state.logprior, logprior)
-            rate = jnp.where(
-                keep[..., None, None],
-                state.rate,
-                rate_flat.reshape(state.rate.shape),
-            )
+            rate = jnp.where(keep[..., None], state.rate, rate)
 
             def refresh(_):
                 ks = init_kernel_state(ctx, counts_b, locs, fluxes)
@@ -340,7 +336,7 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
         fluxes = jnp.where(keep[..., None], state.fluxes, kstate.fluxes)
         loglik = jnp.where(keep, state.loglik, kstate.parent_ll)
         logprior = jnp.where(keep, state.logprior, kstate.logprior)
-        rate = jnp.where(keep[..., None, None], state.rate, kstate.rate)
+        rate = jnp.where(keep[..., None], state.rate, kstate.rate)
         acc_tile = acc_rate.mean(-1)  # [T]
 
         state = state._replace(

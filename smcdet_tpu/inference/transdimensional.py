@@ -103,8 +103,8 @@ class BirthDeathMH:
         eff = jnp.asarray(model.adu_per_nmgy)
         birth_img, _ = ctx.star_images(new_loc)
         rate_b = inner.rate + jnp.where(
-            can_birth[..., None, None],
-            eff * new_flux[..., None, None] * birth_img,
+            can_birth[..., None],
+            eff * new_flux[..., None] * birth_img,
             0.0,
         )
         ll_b, _ = ctx.loglik_terms(rate_b, None)
@@ -154,8 +154,8 @@ class BirthDeathMH:
         dead_flux = (fluxes * onehot_d).sum(-1)
         dead_img, _ = ctx.star_images(dead_loc)
         rate_d = inner.rate - jnp.where(
-            can_death[..., None, None],
-            eff * dead_flux[..., None, None] * dead_img,
+            can_death[..., None],
+            eff * dead_flux[..., None] * dead_img,
             0.0,
         )
         ll_d, _ = ctx.loglik_terms(rate_d, None)
@@ -240,12 +240,12 @@ class BirthDeathMH:
         )
 
         rate_out = jnp.where(
-            is_move[..., None, None],
+            is_move[..., None],
             moved.rate,
             jnp.where(
-                acc_birth[..., None, None],
+                acc_birth[..., None],
                 rate_b,
-                jnp.where(acc_death[..., None, None], rate_d, inner.rate),
+                jnp.where(acc_death[..., None], rate_d, inner.rate),
             ),
         )
         pll_out = jnp.where(

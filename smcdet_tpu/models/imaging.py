@@ -77,18 +77,29 @@ class ImageModel:
         moving one star only requires two of these renders instead of a full
         M-star re-render.
         """
+        return self.star_image_flat(loc).reshape(
+            loc.shape[:-1] + (self.height, self.width)
+        )
+
+    def star_image_flat(self, loc):
+        """``star_image`` with the pixel axis flattened to ``[..., H*W]``.
+
+        NOTE (TPU layout): hot paths carry pixels flat. A trailing
+        ``[..., 8, 8]`` image axis gets its last dim padded to the 128-wide
+        lane tile — a 16x memory/bandwidth waste that measured as the
+        dominant per-iteration cost; ``[..., 64]`` pads only 2x.
+        """
         ly = loc[..., 0][..., None]
         lx = loc[..., 1][..., None]
-        h = jnp.arange(self.height, dtype=jnp.float32)
-        w = jnp.arange(self.width, dtype=jnp.float32)
-        dy = (h + 0.5) - ly  # [..., H]
-        dx = (w + 0.5) - lx  # [..., W]
-        fy = jnp.floor(ly)
-        fx = jnp.floor(lx)
-        mask_h = jnp.abs(h - fy) <= self.psf_radius  # [..., H]
-        mask_w = jnp.abs(w - fx) <= self.psf_radius  # [..., W]
-        r2 = dy[..., :, None] ** 2 + dx[..., None, :] ** 2
-        patch = mask_h[..., :, None] & mask_w[..., None, :]
+        p = jnp.arange(self.height * self.width, dtype=jnp.int32)
+        h = (p // self.width).astype(jnp.float32)  # [HW]
+        w = (p % self.width).astype(jnp.float32)
+        dy = (h + 0.5) - ly  # [..., HW]
+        dx = (w + 0.5) - lx
+        patch = (jnp.abs(h - jnp.floor(ly)) <= self.psf_radius) & (
+            jnp.abs(w - jnp.floor(lx)) <= self.psf_radius
+        )
+        r2 = dy * dy + dx * dx
         return self.psf.normalized(r2) * patch
 
     def render(self, locs, fluxes):
@@ -110,12 +121,20 @@ class ImageModel:
     # ------------------------------------------------------------------
     # Likelihood
     # ------------------------------------------------------------------
+    def loglikelihood_from_rate_flat(self, image_flat, rate_flat):
+        """Pixelwise log-likelihood over flat pixels, summed over the
+        trailing axis (the TPU-friendly layout; see ``star_image_flat``)."""
+        return self._pixel_loglik(image_flat, rate_flat).sum(-1)
+
     def loglikelihood_from_rate(self, image, rate):
         """Pixelwise log-likelihood summed over the tile.
 
         ``image``: ``[..., H, W]`` broadcastable against ``rate``. Returns
         the sum over the trailing two (pixel) dims.
         """
+        return self._pixel_loglik(image, rate).sum((-2, -1))
+
+    def _pixel_loglik(self, image, rate):
         if self.noise == "poisson":
             logpmf = (
                 image * jnp.log(rate) - rate - gammaln(image + 1.0)
@@ -134,7 +153,7 @@ class ImageModel:
             )
         else:  # pragma: no cover
             raise ValueError(f"unknown noise model {self.noise!r}")
-        return ll.sum((-2, -1))
+        return ll
 
     def loglikelihood(self, image, locs, fluxes):
         """``image``: ``[..., H, W]``; catalog ``[..., M(,2)]`` → ``[...]``.

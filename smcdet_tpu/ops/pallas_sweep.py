@@ -403,7 +403,7 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
         [from_blocks(o_ly, M), from_blocks(o_lx, M)], axis=-1
     )
     fluxes_out = from_blocks(o_f, M)
-    rate_out = from_blocks(o_rate, HW).reshape(T, CN, H, W)
+    rate_out = from_blocks(o_rate, HW)  # stays flat [T, CN, HW]
     pll_out = o_pll.reshape(T, CN)
     lp_out = o_lp.reshape(T, CN)
     acc_out = o_acc.reshape(T, CN) / num_iters
@@ -485,14 +485,14 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
     counts2 = counts.reshape(T, CN)
     locs2 = locs.reshape(T, CN, M, 2)
     fluxes2 = fluxes.reshape(T, CN, M)
-    rate2 = rate.reshape(T, CN, H, W)
+    rate2 = rate.reshape(T, CN, H * W)
     pll2 = parent_ll.reshape(T, CN)
     lp2 = logprior.reshape(T, CN)
     if pad:
         counts2 = jnp.pad(counts2, ((0, 0), (0, pad)))
         locs2 = jnp.pad(locs2, ((0, 0), (0, pad), (0, 0), (0, 0)))
         fluxes2 = jnp.pad(fluxes2, ((0, 0), (0, pad), (0, 0)))
-        rate2 = jnp.pad(rate2, ((0, 0), (0, pad), (0, 0), (0, 0)),
+        rate2 = jnp.pad(rate2, ((0, 0), (0, pad), (0, 0)),
                         constant_values=1.0)
         pll2 = jnp.pad(pll2, ((0, 0), (0, pad)))
         lp2 = jnp.pad(lp2, ((0, 0), (0, pad)))
@@ -523,7 +523,7 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
     # strip padding, restore batch shape
     locs_out = locs_out[:, :CN].reshape(batch + (M, 2))
     fluxes_out = fluxes_out[:, :CN].reshape(batch + (M,))
-    rate_out = rate_out[:, :CN].reshape(batch + (H, W))
+    rate_out = rate_out[:, :CN].reshape(batch + (H * W,))
     pll_out = pll_out[:, :CN].reshape(batch)
     lp_out = lp_out[:, :CN].reshape(batch)
     acc = acc[:, :CN].reshape(batch)

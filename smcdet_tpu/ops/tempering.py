@@ -19,6 +19,7 @@ so if ``ESS(1 - t) >= target`` the full remaining step is taken
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
@@ -36,6 +37,16 @@ def ess_at_delta(loglik, delta):
     return jnp.exp(log_num - log_den)
 
 
+def _ess_shifted(shifted, delta):
+    """ESS via one fused pass: ``shifted = loglik - max`` makes
+    ``w = exp(delta * shifted)`` overflow-safe for delta in [0, 1] without
+    per-evaluation max reductions (ESS is shift-invariant)."""
+    w = jnp.exp(delta[..., None] * shifted)
+    s1 = w.sum(-1)
+    s2 = (w * w).sum(-1)
+    return s1 * s1 / jnp.maximum(s2, 1e-37)
+
+
 def solve_tempering_step(loglik, temperature, ess_target, num_iters: int = 40):
     """Batched bisection for the adaptive tempering step.
 
@@ -45,16 +56,24 @@ def solve_tempering_step(loglik, temperature, ess_target, num_iters: int = 40):
     than the reference's brentq ``xtol=1e-6``.
     """
     loglik = jnp.nan_to_num(loglik, neginf=-1e30)
+    # one max-shift up front; every bisection step is then a single
+    # exp+reduce pass instead of two logsumexps
+    shifted = loglik - jax.lax.stop_gradient(loglik.max(-1, keepdims=True))
+    # guard: all -1e30 (empty stratum) -> shifted 0 -> ESS = N (full step)
     remaining = jnp.clip(1.0 - temperature, 0.0, 1.0)
-    full_step_ok = ess_at_delta(loglik, remaining) >= ess_target
+    remaining = jnp.broadcast_to(remaining, loglik.shape[:-1])
+    full_step_ok = _ess_shifted(shifted, remaining) >= ess_target
 
-    lo = jnp.zeros_like(remaining)
-    hi = remaining
-    for _ in range(num_iters):
+    def body_fori(_, carry):
+        lo, hi = carry
         mid = 0.5 * (lo + hi)
-        too_degenerate = ess_at_delta(loglik, mid) < ess_target
+        too_degenerate = _ess_shifted(shifted, mid) < ess_target
         hi = jnp.where(too_degenerate, mid, hi)
         lo = jnp.where(too_degenerate, lo, mid)
-    bisected = 0.5 * (lo + hi)
+        return (lo, hi)
 
+    lo, hi = jax.lax.fori_loop(
+        0, num_iters, body_fori, (jnp.zeros_like(remaining), remaining)
+    )
+    bisected = 0.5 * (lo + hi)
     return jnp.where(full_step_ok, remaining, bisected)

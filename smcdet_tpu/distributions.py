@@ -71,6 +71,21 @@ def truncated_normal_sample(key, mu, sigma, lb, ub, shape=None):
     return jnp.clip(x, lb, ub)
 
 
+def truncated_normal_log_mass(mu, sigma, lb, ub):
+    """``log(Phi((ub-mu)/sigma) - Phi((lb-mu)/sigma))``, nan-guarded.
+
+    For a truncated-normal random walk the proposal correction reduces to
+    mass terms only: with x' ~ TN(x, s) the Gaussian kernels are symmetric
+    (``(x'-x)^2 == (x-x')^2``), so
+    ``log q(x|x') - log q(x'|x) = log mass(x) - log mass(x')`` — half the
+    Phi evaluations of computing both densities in full.
+    """
+    prob_in_box = ndtr((ub - mu) / sigma) - ndtr((lb - mu) / sigma)
+    return jnp.nan_to_num(
+        jnp.log(prob_in_box), neginf=0.0, posinf=0.0, nan=0.0
+    )
+
+
 def truncated_normal_log_prob(value, mu, sigma, lb, ub):
     """Log-density of a normal truncated to ``[lb, ub]``.
 

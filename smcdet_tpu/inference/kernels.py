@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from smcdet_tpu.distributions import (
+    truncated_normal_log_mass,
     truncated_normal_log_prob,
     truncated_normal_sample,
 )
@@ -281,20 +282,26 @@ class SingleComponentMH:
         )
 
         # Truncation-aware proposal correction for slot j only
-        # (kernel.py:71-112).
-        log_q_fwd = truncated_normal_log_prob(
-            loc_prop, loc_j, self.locs_stdev, loc_low, loc_high
-        ).sum(-1) + truncated_normal_log_prob(
-            f_prop, f_j, self.fluxes_stdev, self.fluxes_min, self.fluxes_max
-        )
-        log_q_rev = truncated_normal_log_prob(
-            loc_j, loc_prop, self.locs_stdev, loc_low, loc_high
-        ).sum(-1) + truncated_normal_log_prob(
-            f_j, f_prop, self.fluxes_stdev, self.fluxes_min, self.fluxes_max
+        # (kernel.py:71-112). The Gaussian kernels cancel for the
+        # symmetric random walk, leaving only truncation-mass terms
+        # (see truncated_normal_log_mass) — exact, half the Phi evals.
+        log_q_rev_minus_fwd = (
+            truncated_normal_log_mass(
+                loc_j, self.locs_stdev, loc_low, loc_high
+            ).sum(-1)
+            - truncated_normal_log_mass(
+                loc_prop, self.locs_stdev, loc_low, loc_high
+            ).sum(-1)
+            + truncated_normal_log_mass(
+                f_j, self.fluxes_stdev, self.fluxes_min, self.fluxes_max
+            )
+            - truncated_normal_log_mass(
+                f_prop, self.fluxes_stdev, self.fluxes_min, self.fluxes_max
+            )
         )
 
-        log_alpha = (log_target_new + log_q_rev) - (
-            log_target_old + log_q_fwd
+        log_alpha = (
+            log_target_new - log_target_old + log_q_rev_minus_fwd
         )
         u = jax.random.uniform(k_acc, batchN)
         accept = u <= jnp.exp(jnp.minimum(log_alpha, 0.0))

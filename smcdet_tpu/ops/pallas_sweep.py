@@ -71,8 +71,8 @@ def _uniform(shape):
 
 
 def _tn_sample_logq(u, mu, sigma, lb, ub):
-    """Truncated-normal inverse-CDF sample + its log-density + the mass
-    term pieces, sharing one Phi evaluation set (distributions.py:40-52)."""
+    """Truncated-normal inverse-CDF sample + the box mass at ``mu``,
+    sharing one Phi evaluation set (distributions.py:40-52)."""
     cdf_lb = _ndtr((lb - mu) / sigma)
     cdf_ub = _ndtr((ub - mu) / sigma)
     p = jnp.clip(cdf_lb + u * (cdf_ub - cdf_lb), 1e-6, 1.0 - 1e-6)
@@ -80,11 +80,13 @@ def _tn_sample_logq(u, mu, sigma, lb, ub):
     return x, cdf_ub - cdf_lb
 
 
-def _tn_log_prob(x, mu, sigma, lb, ub):
-    z = (x - mu) / sigma
+def _tn_log_mass(mu, sigma, lb, ub):
     mass = _ndtr((ub - mu) / sigma) - _ndtr((lb - mu) / sigma)
-    log_mass = jnp.where(mass > 0, jnp.log(jnp.maximum(mass, 1e-37)), 0.0)
-    return -0.5 * z * z - jnp.log(sigma) - _HALF_LOG_2PI - log_mass
+    return jnp.where(mass > 0, jnp.log(jnp.maximum(mass, 1e-37)), 0.0)
+
+
+def _log_mass_from(mass):
+    return jnp.where(mass > 0, jnp.log(jnp.maximum(mass, 1e-37)), 0.0)
 
 
 def supports(ctx, kernel) -> bool:
@@ -230,13 +232,13 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
             loc_jx = (locs_x * onehot).sum(0, keepdims=True)
             f_j = (fluxes * onehot).sum(0, keepdims=True)
 
-            y_prop, _ = _tn_sample_logq(
+            y_prop, mass_y = _tn_sample_logq(
                 _uniform((1, P)), loc_jy, locs_stdev, loc_low_y, loc_high_y
             )
-            x_prop, _ = _tn_sample_logq(
+            x_prop, mass_x = _tn_sample_logq(
                 _uniform((1, P)), loc_jx, locs_stdev, loc_low_x, loc_high_x
             )
-            f_prop, _ = _tn_sample_logq(
+            f_prop, mass_f = _tn_sample_logq(
                 _uniform((1, P)), f_j, fluxes_stdev, fluxes_min, fluxes_max
             )
 
@@ -252,20 +254,22 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
                 flux_log_prob(safe_new) - flux_log_prob(safe_old)
             )
 
-            log_q_fwd = (
-                _tn_log_prob(y_prop, loc_jy, locs_stdev, loc_low_y, loc_high_y)
-                + _tn_log_prob(x_prop, loc_jx, locs_stdev, loc_low_x, loc_high_x)
-                + _tn_log_prob(f_prop, f_j, fluxes_stdev, fluxes_min, fluxes_max)
-            )
-            log_q_rev = (
-                _tn_log_prob(loc_jy, y_prop, locs_stdev, loc_low_y, loc_high_y)
-                + _tn_log_prob(loc_jx, x_prop, locs_stdev, loc_low_x, loc_high_x)
-                + _tn_log_prob(f_j, f_prop, fluxes_stdev, fluxes_min, fluxes_max)
+            # symmetric random walk: the Gaussian kernels cancel, only the
+            # truncation-mass terms remain (masses at the OLD means come
+            # free from sampling)
+            log_q_rev_minus_fwd = (
+                _log_mass_from(mass_y)
+                - _tn_log_mass(y_prop, locs_stdev, loc_low_y, loc_high_y)
+                + _log_mass_from(mass_x)
+                - _tn_log_mass(x_prop, locs_stdev, loc_low_x, loc_high_x)
+                + _log_mass_from(mass_f)
+                - _tn_log_mass(f_prop, fluxes_stdev, fluxes_min, fluxes_max)
             )
 
             log_alpha = (
-                (lp_prop + tau * pll_prop + log_q_rev)
-                - (lp + tau * pll + log_q_fwd)
+                (lp_prop + tau * pll_prop)
+                - (lp + tau * pll)
+                + log_q_rev_minus_fwd
             )
             u_acc = _uniform((1, P))
             accept = (

@@ -127,6 +127,9 @@ def _side_mask_fn(axis: int, boundary: int, height: int, width: int):
         pix = coord < boundary  # [HW]
         return jnp.where(on_side1[..., None], pix, ~pix)  # [..., HW]
 
+    # structural description for the fused Pallas bridge kernel
+    side_mask.axis = axis
+    side_mask.boundary = boundary
     return side_mask
 
 

@@ -20,11 +20,14 @@ Layout notes (TPU):
   Phi, so the proposal density matches the sampling distribution exactly
   and MH correctness is preserved (the target is untouched).
 
-Supported target: the tile-level tempered target
-``logprior + tau * loglik`` (no aggregation child term) with either image
-model (Gaussian noise or Poisson-with-Normal-tail) and either PSF
-(SDSS 6-parameter or Gaussian), matching inference/kernels.py semantics
-for ``SingleComponentMH`` (reference smcdet/kernel.py:7-130).
+Supported targets: the tile-level tempered target
+``logprior + tau * loglik`` AND the aggregation-bridge target
+``logprior + tau * parent_ll + (1 - tau) * child_ll`` (the child term is
+the parent render side-masked at the tile boundary, exactly as in
+inference/aggregate.py), with either image model (Gaussian noise or
+Poisson-with-Normal-tail) and either PSF (SDSS 6-parameter or Gaussian) —
+matching inference/kernels.py semantics for ``SingleComponentMH``
+(reference smcdet/kernel.py:7-130).
 """
 
 from __future__ import annotations
@@ -93,8 +96,13 @@ def supports(ctx, kernel) -> bool:
     """True if the fused kernel covers this target configuration."""
     from smcdet_tpu.models.psf import GaussianPSF, SDSSPSF
 
+    child_ok = ctx.child_model is None or (
+        ctx.child_model is ctx.model
+        and hasattr(ctx.child_side_mask, "axis")
+        and hasattr(ctx.child_side_mask, "boundary")
+    )
     return (
-        ctx.child_model is None
+        child_ok
         and ctx.model.noise in ("gaussian", "poisson")
         and isinstance(ctx.model.psf, (GaussianPSF, SDSSPSF))
         and jax.devices()[0].platform == "tpu"
@@ -102,30 +110,43 @@ def supports(ctx, kernel) -> bool:
 
 
 def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
-                 flux_is_normal):
+                 flux_is_normal, child_axis=None):
     HW = H * W
+    has_child = child_axis is not None
 
-    def kernel(
-        seed_ref,  # [2] SMEM: (seed, salt)
-        params_ref,  # [32] SMEM scalars
-        temp_ref,  # [T] SMEM per-tile temperatures (indexed by program id)
-        image_ref,  # [1, HW, 1] VMEM per-tile image
-        img_lgamma_ref,  # [1, HW, 1] VMEM lgamma(image + 1) (Poisson only)
-        counts_ref,  # [1, 1, P] VMEM int32
-        locs_y_ref,  # [1, M, P]
-        locs_x_ref,  # [1, M, P]
-        fluxes_ref,  # [1, M, P]
-        rate_ref,  # [1, HW, P]
-        pll_ref,  # [1, P]
-        lp_ref,  # [1, P]
-        out_locs_y,  # [1, M, P]
-        out_locs_x,
-        out_fluxes,
-        out_rate,
-        out_pll,
-        out_lp,
-        out_acc,  # [1, P] f32 (accept count)
-    ):
+    def kernel(*refs):
+        # inputs: seed, params, temp, image, img_lgamma, counts, locs_y,
+        # locs_x, fluxes, rate, pll, lp [, child_rate, cll]
+        # outputs: locs_y, locs_x, fluxes, rate, pll, lp, acc
+        # [, child_rate, cll]
+        (
+            seed_ref,
+            params_ref,
+            temp_ref,
+            image_ref,
+            img_lgamma_ref,
+            counts_ref,
+            locs_y_ref,
+            locs_x_ref,
+            fluxes_ref,
+            rate_ref,
+            pll_ref,
+            lp_ref,
+        ) = refs[:12]
+        n_in = 14 if has_child else 12
+        if has_child:
+            child_rate_ref, cll_ref = refs[12:14]
+        (
+            out_locs_y,
+            out_locs_x,
+            out_fluxes,
+            out_rate,
+            out_pll,
+            out_lp,
+            out_acc,
+        ) = refs[n_in : n_in + 7]
+        if has_child:
+            out_child_rate, out_cll = refs[n_in + 7 : n_in + 9]
         t = pl.program_id(0)
         b = pl.program_id(1)
         # fold (seed, salt, tile, block) into one 32-bit stream id
@@ -153,6 +174,7 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
         normal_tail = pp[20]
         flux_a = pp[21]  # pareto alpha / normal mean
         flux_b = pp[22]  # pareto lognorm-const / normal stdev
+        boundary = pp[23]  # aggregation-bridge tile boundary (child term)
 
         tau = temp_ref[t]
 
@@ -189,6 +211,22 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
             r2 = dy * dy + dx * dx
             return jnp.where(in_h & in_w, psf_eval(r2), 0.0)
 
+        if has_child:
+            # child tiles partition the parent pixels at `boundary` along
+            # `child_axis`; a star's child render is its parent render
+            # masked to its own side (inference/aggregate.py)
+            pix_coord = (
+                (hh_i // W) if child_axis == 0 else (hh_i % W)
+            ).astype(jnp.float32) + 0.5  # [HW, 1] pixel centre coord
+            # f32 arithmetic select (bool broadcast-select of mixed shapes
+            # hits a Mosaic truncation limitation)
+            pix1 = (pix_coord < boundary).astype(jnp.float32)  # [HW, 1]
+
+            def side_mask(ly, lx):
+                star_c = ly if child_axis == 0 else lx  # [1, P]
+                star1 = (star_c <= boundary).astype(jnp.float32)
+                return pix1 * star1 + (1.0 - pix1) * (1.0 - star1)  # [HW, P]
+
         def loglik(rate):
             if noise == "gaussian":
                 var = noise_add + noise_mult * rate
@@ -219,7 +257,8 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
             return jnp.zeros_like(f)
 
         def body(i, carry):
-            locs_y, locs_x, fluxes, rate, pll, lp, acc = carry
+            (locs_y, locs_x, fluxes, rate, pll, lp, acc,
+             child_rate, cll) = carry
 
             u_j = _uniform((1, P))
             j = jnp.minimum(
@@ -248,6 +287,15 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
             rate_prop = rate + active * delta
 
             pll_prop = loglik(rate_prop)
+            if has_child:
+                child_delta = adu * (
+                    f_prop * new_img * side_mask(y_prop, x_prop)
+                    - f_j * old_img * side_mask(loc_jy, loc_jx)
+                )
+                child_rate_prop = child_rate + active * child_delta
+                cll_prop = loglik(child_rate_prop)
+            else:
+                child_rate_prop, cll_prop = child_rate, cll
             safe_old = jnp.where(active > 0, f_j, fluxes_min)
             safe_new = jnp.where(active > 0, f_prop, fluxes_min)
             lp_prop = lp + active * (
@@ -266,11 +314,19 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
                 - _tn_log_mass(f_prop, fluxes_stdev, fluxes_min, fluxes_max)
             )
 
-            log_alpha = (
-                (lp_prop + tau * pll_prop)
-                - (lp + tau * pll)
-                + log_q_rev_minus_fwd
-            )
+            if has_child:
+                # aggregation bridge: lp + tau*parent + (1-tau)*child
+                log_alpha = (
+                    (lp_prop + tau * pll_prop + (1.0 - tau) * cll_prop)
+                    - (lp + tau * pll + (1.0 - tau) * cll)
+                    + log_q_rev_minus_fwd
+                )
+            else:
+                log_alpha = (
+                    (lp_prop + tau * pll_prop)
+                    - (lp + tau * pll)
+                    + log_q_rev_minus_fwd
+                )
             u_acc = _uniform((1, P))
             accept = (
                 (u_acc <= jnp.exp(jnp.minimum(log_alpha, 0.0)))
@@ -284,8 +340,14 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
             rate = rate + accept * (rate_prop - rate)
             pll = pll + accept * (pll_prop - pll)
             lp = lp + accept * (lp_prop - lp)
+            if has_child:
+                child_rate = child_rate + accept * (
+                    child_rate_prop - child_rate
+                )
+                cll = cll + accept * (cll_prop - cll)
             acc = acc + accept
-            return locs_y, locs_x, fluxes, rate, pll, lp, acc
+            return (locs_y, locs_x, fluxes, rate, pll, lp, acc,
+                    child_rate, cll)
 
         init = (
             locs_y_ref[0],
@@ -295,9 +357,11 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
             pll_ref[0],
             lp_ref[0],
             jnp.zeros((1, P), jnp.float32),
+            child_rate_ref[0] if has_child else jnp.zeros((1, 1)),
+            cll_ref[0] if has_child else jnp.zeros((1, 1)),
         )
-        locs_y, locs_x, fluxes, rate, pll, lp, acc = jax.lax.fori_loop(
-            0, num_iters, body, init
+        (locs_y, locs_x, fluxes, rate, pll, lp, acc, child_rate, cll) = (
+            jax.lax.fori_loop(0, num_iters, body, init)
         )
         out_locs_y[0] = locs_y
         out_locs_x[0] = locs_x
@@ -306,6 +370,9 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
         out_pll[0] = pll
         out_lp[0] = lp
         out_acc[0] = acc
+        if has_child:
+            out_child_rate[0] = child_rate
+            out_cll[0] = cll
 
     return kernel
 
@@ -313,18 +380,21 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
 @partial(
     jax.jit,
     static_argnames=("num_iters", "block", "noise", "psf_kind",
-                     "flux_is_pareto", "flux_is_normal", "dims"),
+                     "flux_is_pareto", "flux_is_normal", "dims",
+                     "child_axis"),
 )
 def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
-         pll, lp, *, num_iters, block, noise, psf_kind, flux_is_pareto,
-         flux_is_normal, dims):
+         pll, lp, child_rate=None, cll=None, *, num_iters, block, noise,
+         psf_kind, flux_is_pareto, flux_is_normal, dims, child_axis=None):
     T, CN, M, H, W = dims
     HW = H * W
     P = block
     nb = CN // P
+    has_child = child_axis is not None
 
     kern = _make_kernel(H, W, M, P, num_iters, noise, psf_kind,
-                        flux_is_pareto, flux_is_normal)
+                        flux_is_pareto, flux_is_normal,
+                        child_axis=child_axis)
 
     # lane-major reshapes: [T, CN, ...] -> [T*nb, rows, P]
     def to_blocks(x, rows):
@@ -340,6 +410,9 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
     pll_b = pll.reshape(T * nb, 1, P)
     lp_b = lp.reshape(T * nb, 1, P)
     images_b = images.reshape(T, HW, 1)
+    if has_child:
+        child_rate_b = to_blocks(child_rate.reshape(T, CN, HW), HW)
+        cll_b = cll.reshape(T * nb, 1, P)
 
     grid = (T, nb)
 
@@ -370,7 +443,16 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
                          memory_space=pltpu.VMEM),  # pll
             pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
                          memory_space=pltpu.VMEM),  # lp
-        ],
+        ]
+        + (
+            [
+                row_spec(HW),  # child_rate
+                pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
+                             memory_space=pltpu.VMEM),  # cll
+            ]
+            if has_child
+            else []
+        ),
         out_specs=[
             row_spec(M),
             row_spec(M),
@@ -382,7 +464,16 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        + (
+            [
+                row_spec(HW),
+                pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            if has_child
+            else []
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((T * nb, M, P), jnp.float32),
             jax.ShapeDtypeStruct((T * nb, M, P), jnp.float32),
@@ -391,13 +482,24 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
             jax.ShapeDtypeStruct((T * nb, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((T * nb, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((T * nb, 1, P), jnp.float32),
-        ],
+        ]
+        + (
+            [
+                jax.ShapeDtypeStruct((T * nb, HW, P), jnp.float32),
+                jax.ShapeDtypeStruct((T * nb, 1, P), jnp.float32),
+            ]
+            if has_child
+            else []
+        ),
     )(seed, params, temperature, images_b,
       jax.lax.lgamma(images_b + 1.0) if noise == "poisson"
       else jnp.zeros_like(images_b),
-      counts_b, locs_y, locs_x, fluxes_b, rate_b, pll_b, lp_b)
+      counts_b, locs_y, locs_x, fluxes_b, rate_b, pll_b, lp_b,
+      *((child_rate_b, cll_b) if has_child else ()))
 
-    o_ly, o_lx, o_f, o_rate, o_pll, o_lp, o_acc = out
+    o_ly, o_lx, o_f, o_rate, o_pll, o_lp, o_acc = out[:7]
+    if has_child:
+        o_child_rate, o_cll = out[7:9]
 
     def from_blocks(x, rows):
         x = x.reshape(T, nb, rows, P).transpose(0, 1, 3, 2)
@@ -411,17 +513,24 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
     pll_out = o_pll.reshape(T, CN)
     lp_out = o_lp.reshape(T, CN)
     acc_out = o_acc.reshape(T, CN) / num_iters
-    return locs_out, fluxes_out, rate_out, pll_out, lp_out, acc_out
+    if has_child:
+        child_rate_out = from_blocks(o_child_rate, HW)
+        cll_out = o_cll.reshape(T, CN)
+        return (locs_out, fluxes_out, rate_out, pll_out, lp_out, acc_out,
+                child_rate_out, cll_out)
+    return (locs_out, fluxes_out, rate_out, pll_out, lp_out, acc_out,
+            None, None)
 
 
 def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
-                     parent_ll, logprior, block: int = 256):
+                     parent_ll, logprior, child_rate=None, child_ll=None,
+                     block: int = 256):
     """Run ``kernel.num_iters`` fused MH sweeps; returns
     ``(locs, fluxes, rate, parent_ll, logprior, accept_frac)``.
 
-    Inputs are the [*, N] batched particle arrays of the XLA path with the
-    batch flattened to ``[T, CN]`` (T = tiles of ctx.image). See module
-    docstring for supported targets.
+    Inputs are the ``[*G, N]`` batched particle arrays of the XLA path;
+    each leading-batch group G carries one (broadcastable) image and
+    temperature. See module docstring for supported targets.
     """
     from smcdet_tpu.models.psf import SDSSPSF
 
@@ -429,9 +538,21 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
     prior = ctx.prior
     H, W = model.height, model.width
     batch = counts.shape
-    T = ctx.image.shape[0] if ctx.image.ndim > 2 else 1
-    CN = int(np.prod(batch)) // T
+    # flatten every leading batch axis into the "tile" grid dimension; the
+    # per-group image/temperature are broadcast up front (tiny arrays)
+    T = int(np.prod(batch[:-1], dtype=int)) if len(batch) > 1 else 1
+    CN = batch[-1]
     M = fluxes.shape[-1]
+    img = jnp.asarray(ctx.image)
+    while img.ndim < len(batch) + 2:
+        img = img[None]
+    # the particle axis must be broadcast (shared image per group): drop it
+    img = img[..., 0, :, :]
+    image_full = jnp.broadcast_to(img, batch[:-1] + (H, W)).reshape(T, H, W)
+    tmp = jnp.asarray(ctx.temperature)
+    while tmp.ndim < len(batch):
+        tmp = tmp[None]
+    temp_full = jnp.broadcast_to(tmp[..., 0], batch[:-1]).reshape(T)
 
     psf = model.psf
     is_sdss = isinstance(psf, SDSSPSF)
@@ -452,6 +573,10 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
         12: float(model.psf_radius),
         20: float(model.normal_tail_threshold),
     }
+    child_axis = None
+    if ctx.child_model is not None:
+        child_axis = int(ctx.child_side_mask.axis)
+        vals[23] = float(ctx.child_side_mask.boundary)
     if is_sdss:
         vals.update({13: psf.sigma1, 14: psf.sigma2, 15: psf.sigmap,
                      16: psf.beta, 17: psf.b, 18: psf.p0,
@@ -492,6 +617,10 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
     rate2 = rate.reshape(T, CN, H * W)
     pll2 = parent_ll.reshape(T, CN)
     lp2 = logprior.reshape(T, CN)
+    crate2 = (
+        child_rate.reshape(T, CN, H * W) if child_axis is not None else None
+    )
+    cll2 = child_ll.reshape(T, CN) if child_axis is not None else None
     if pad:
         counts2 = jnp.pad(counts2, ((0, 0), (0, pad)))
         locs2 = jnp.pad(locs2, ((0, 0), (0, pad), (0, 0), (0, 0)))
@@ -500,11 +629,12 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
                         constant_values=1.0)
         pll2 = jnp.pad(pll2, ((0, 0), (0, pad)))
         lp2 = jnp.pad(lp2, ((0, 0), (0, pad)))
+        if child_axis is not None:
+            crate2 = jnp.pad(crate2, ((0, 0), (0, pad), (0, 0)),
+                             constant_values=1.0)
+            cll2 = jnp.pad(cll2, ((0, 0), (0, pad)))
 
-    temperature = jnp.broadcast_to(
-        jnp.asarray(ctx.temperature, dtype=jnp.float32).reshape(T, -1)[:, 0],
-        (T,),
-    )
+    temperature = temp_full.astype(jnp.float32)
     kdata = jax.random.key_data(key).astype(jnp.uint32)
     seed = jnp.asarray(
         [kdata.ravel()[0].astype(jnp.int32), kdata.ravel()[-1].astype(jnp.int32)],
@@ -512,18 +642,14 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
     )
 
     o = _run(
-        seed, params, temperature, ctx.image.reshape(T, H, W)
-        if ctx.image.size == T * H * W
-        else jnp.broadcast_to(
-            ctx.image.reshape(T, 1, 1, H, W)[:, 0, 0], (T, H, W)
-        ),
-        counts2, locs2, fluxes2, rate2, pll2, lp2,
+        seed, params, temperature, image_full,
+        counts2, locs2, fluxes2, rate2, pll2, lp2, crate2, cll2,
         num_iters=kernel.num_iters, block=block, noise=model.noise,
         psf_kind="sdss" if is_sdss else "gaussian",
         flux_is_pareto=flux_is_pareto, flux_is_normal=flux_is_normal,
-        dims=(T, CN + pad, M, H, W),
+        dims=(T, CN + pad, M, H, W), child_axis=child_axis,
     )
-    locs_out, fluxes_out, rate_out, pll_out, lp_out, acc = o
+    locs_out, fluxes_out, rate_out, pll_out, lp_out, acc, crate_o, cll_o = o
     # strip padding, restore batch shape
     locs_out = locs_out[:, :CN].reshape(batch + (M, 2))
     fluxes_out = fluxes_out[:, :CN].reshape(batch + (M,))
@@ -531,4 +657,8 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
     pll_out = pll_out[:, :CN].reshape(batch)
     lp_out = lp_out[:, :CN].reshape(batch)
     acc = acc[:, :CN].reshape(batch)
-    return locs_out, fluxes_out, rate_out, pll_out, lp_out, acc
+    if child_axis is not None:
+        crate_o = crate_o[:, :CN].reshape(batch + (H * W,))
+        cll_o = cll_o[:, :CN].reshape(batch)
+    return (locs_out, fluxes_out, rate_out, pll_out, lp_out, acc,
+            crate_o, cll_o)

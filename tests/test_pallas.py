@@ -146,3 +146,58 @@ class TestFusedSweepOnTPU:
             np.asarray(stp.fluxes)[np.asarray(inactive)],
             np.asarray(fluxes)[np.asarray(inactive)],
         )
+
+
+@requires_tpu
+class TestFusedBridgeOnTPU:
+    def test_aggregation_matches_xla_backend(self):
+        from smcdet_tpu.inference import Aggregate, SMCSampler
+        from smcdet_tpu.inference.kernels import SingleComponentMH
+        from smcdet_tpu.models.imaging import ImageModel
+        from smcdet_tpu.models.priors import (
+            NormalFlux,
+            PointProcessPrior,
+            UniformCounts,
+        )
+        from smcdet_tpu.models.psf import GaussianPSF
+
+        prior = PointProcessPrior(
+            min_objects=0, max_objects=3, image_height=8, image_width=8,
+            pad=1.0, counts=UniformCounts(0, 3),
+            flux=NormalFlux(mean=jnp.float32(2000.0),
+                            stdev=jnp.float32(300.0)),
+        )
+        model = ImageModel(
+            height=8, width=8, psf_radius=4, noise="poisson",
+            background=jnp.float32(100.0),
+            psf=GaussianPSF(stdev=jnp.float32(1.0)),
+        )
+        full = model.replace(height=16, width=16)
+        image = full.sample(
+            jax.random.key(9),
+            jnp.asarray([[3.0, 3.5], [12.5, 4.0], [8.0, 11.5]]),
+            jnp.asarray([2000.0, 2200.0, 2400.0]),
+        )
+        fluxes = {}
+        for backend in ("xla", "pallas"):
+            kernel = SingleComponentMH(
+                num_iters=20, locs_stdev=jnp.float32(0.25),
+                fluxes_stdev=jnp.float32(60.0),
+                fluxes_min=jnp.float32(500.0),
+                fluxes_max=jnp.float32(5000.0), backend=backend,
+            )
+            s = SMCSampler(
+                image=image, tile_dim=8, Prior=prior, ImageModel=model,
+                MutationKernel=kernel, num_catalogs=192,
+                flux_detection_threshold=600.0, max_smc_iters=50,
+                resample_method="systematic",
+            )
+            s.run(jax.random.key(1))
+            agg = Aggregate.from_smc(s)
+            agg.run(jax.random.key(2))
+            pc = np.asarray(agg.pruned_counts[0, 0])
+            vals, freq = np.unique(pc, return_counts=True)
+            assert vals[freq.argmax()] == 3
+            fluxes[backend] = float(agg.posterior_mean_total_flux()[0, 0])
+        # same posterior within MC tolerance (truth: 6600)
+        assert abs(fluxes["xla"] - fluxes["pallas"]) < 0.05 * 6600.0, fluxes

@@ -475,9 +475,28 @@ class SMCSampler:
         )
         self.result: SMCResult | None = None
 
+    def _max_tiles_per_chunk(self) -> int:
+        """Largest tile batch fitting the per-device memory budget.
+
+        The dominant live arrays are the per-particle rate caches
+        (~4 float copies of ``[T, C, N, H*W]`` between the SMC carry, the
+        mutation kernel, and resampling temporaries); 256 tiles x 7 strata
+        x 2048 catalogs faults a 16 GiB chip, so tiles are chunked
+        sequentially beyond the budget. Override with
+        ``SMCSampler.memory_budget_bytes``.
+        """
+        C = self.prior.num_counts
+        N = self.config.num_catalogs
+        hw = self.tile_dim * self.tile_dim
+        per_tile = C * N * (4 * hw + 8 * self.prior.max_objects + 32) * 4
+        budget = getattr(self, "memory_budget_bytes", 12 * 2**30)
+        return max(1, budget // max(per_tile, 1))
+
     def run(self, key=None, devices=None) -> SMCResult:
         """Run the sampler. ``devices``: optional list for a tile-sharded
-        mesh (see parallel/sharding.py); default single-device jit."""
+        mesh (see parallel/sharding.py); default single-device jit. Tile
+        batches exceeding the device memory budget are processed in
+        sequential chunks (per-tile CS-SMC is independent)."""
         if key is None:
             key = jax.random.key(0)
         run = jax.jit(run_csmc, static_argnames=())
@@ -485,14 +504,44 @@ class SMCSampler:
             from smcdet_tpu.parallel.sharding import shard_tiles_jit
 
             run = shard_tiles_jit(run_csmc, devices)
-        self.result = run(
-            key,
-            self.tiled_image,
-            self.prior,
-            self.image_model,
-            self.kernel,
-            self.config,
-        )
+
+        T = self.tiled_image.shape[0]
+        chunk = self._max_tiles_per_chunk()
+        if T <= chunk:
+            self.result = run(
+                key,
+                self.tiled_image,
+                self.prior,
+                self.image_model,
+                self.kernel,
+                self.config,
+            )
+            return self.result
+
+        # sequential chunks (equal sizes where possible to reuse compiles)
+        n_chunks = -(-T // chunk)
+        size = -(-T // n_chunks)
+        parts = []
+        for i in range(0, T, size):
+            part = run(
+                jax.random.fold_in(key, i),
+                self.tiled_image[i : i + size],
+                self.prior,
+                self.image_model,
+                self.kernel,
+                self.config,
+            )
+            parts.append(jax.block_until_ready(part))
+        stacked = {}
+        for f in parts[0]._fields:
+            vals = [getattr(p, f) for p in parts]
+            if f == "history":
+                stacked[f] = None
+            elif f == "num_iters":
+                stacked[f] = jnp.stack(vals).max()
+            else:
+                stacked[f] = jnp.concatenate(vals, axis=0)
+        self.result = SMCResult(**stacked)
         return self.result
 
     # -- posterior summaries (sampler.py:258-298) -----------------------

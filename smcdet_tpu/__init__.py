@@ -29,6 +29,18 @@ if (
     except Exception:  # pragma: no cover - plugin-dependent
         pass
 
-from smcdet_tpu import distributions, metrics, models, ops, utils  # noqa: F401
+from smcdet_tpu import (  # noqa: F401
+    config,
+    detect,
+    distributions,
+    inference,
+    ingest,
+    metrics,
+    models,
+    ops,
+    parallel,
+    utils,
+    validation,
+)
 
 __version__ = "0.1.0"

@@ -127,3 +127,88 @@ class TestCalibration:
         )
         p = sbc_uniformity_pvalue(ranks)
         assert p > 0.005, p
+
+
+class TestM71Calibration:
+    """Same checks on the Gaussian-noise M71 model family."""
+
+    @pytest.fixture(scope="class")
+    def posterior(self):
+        from smcdet_tpu.models.imaging import M71ImageModel
+        from smcdet_tpu.models.priors import M71Prior
+
+        prior = M71Prior(
+            min_objects=0,
+            max_objects=2,
+            counts_rate=0.015,
+            image_height=8,
+            image_width=8,
+            flux_alpha=0.5,
+            flux_lower=5.0,
+            flux_upper=500.0,
+            pad=0.0,
+        )
+        model = M71ImageModel(
+            image_height=8,
+            image_width=8,
+            background=865.0,
+            adu_per_nmgy=856.0,
+            psf_params=(1.51, 4.85, 1.32, 3.0, 0.09, 0.002),
+            psf_radius=8,
+            noise_additive=0.001,
+            noise_multiplicative=1.94,
+        )
+        kernel = SingleComponentMH(
+            num_iters=30,
+            locs_stdev=jnp.float32(0.3),
+            fluxes_stdev=jnp.float32(3.0),
+            fluxes_min=jnp.float32(5.0),
+            fluxes_max=jnp.float32(500.0),
+        )
+        key = jax.random.key(21)
+        k_prior, k_img, k_smc = jax.random.split(key, 3)
+        counts, locs, fluxes = prior.sample(k_prior, NUM_IMAGES)
+        images = model.sample(k_img, locs, fluxes)
+        cfg = SMCConfig(
+            num_catalogs=N_CATALOGS,
+            resample_method="systematic",
+            max_smc_iters=40,
+            flux_detection_threshold=0.0,
+        )
+        result = jax.jit(run_csmc)(k_smc, images, prior, model, kernel, cfg)
+        return {
+            "true_counts": np.asarray(counts),
+            "true_total_flux": np.asarray(fluxes.sum(-1)),
+            "result": jax.block_until_ready(result),
+        }
+
+    def test_m71_count_confusion_symmetry(self, posterior):
+        r = posterior["result"]
+        M = count_confusion_matrix(
+            posterior["true_counts"],
+            np.asarray(r.counts),
+            weights=np.asarray(r.weights),
+        )
+        assert np.trace(M) > 0.5, M
+        assert confusion_asymmetry(M) < 0.35, M
+
+    def test_m71_sbc_counts_uniform(self, posterior):
+        r = posterior["result"]
+        ranks = sbc_ranks(
+            posterior["true_counts"],
+            np.asarray(r.counts),
+            weights=np.asarray(r.weights),
+        )
+        assert sbc_uniformity_pvalue(ranks) > 0.005
+
+    def test_m71_total_flux_coverage(self, posterior):
+        r = posterior["result"]
+        samples = np.asarray(r.fluxes).sum(-1)
+        cov = credible_interval_coverage(
+            posterior["true_total_flux"],
+            samples,
+            levels=[0.8],
+            weights=np.asarray(r.weights),
+        )
+        sigma = np.sqrt(0.8 * 0.2 / NUM_IMAGES)
+        assert abs(cov[0] - 0.8) < 4 * sigma + 0.02, cov

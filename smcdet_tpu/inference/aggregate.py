@@ -602,6 +602,15 @@ class Aggregate:
         f = self.state.fluxes if fluxes is None else fluxes
         return (self.state.weights * f.sum(-1)).sum(-1)
 
+    def posterior_predictive_total_observed_flux(self, key):
+        """Total observed flux of posterior-predictive draws
+        (aggregate.py:605-607, with an explicit PRNG key)."""
+        model = self.image_model.replace(
+            height=self.image_height, width=self.image_width
+        )
+        img = model.sample(key, self.state.locs, self.state.fluxes)
+        return img.sum((-2, -1))
+
     def summarize(self):
         if not self.has_run:
             raise ValueError("aggregation procedure hasn't been run yet.")

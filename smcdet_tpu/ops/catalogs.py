@@ -18,6 +18,24 @@ def slot_mask(counts, max_objects: int):
     return jnp.arange(max_objects) < counts[..., None]
 
 
+def _apply_slot_perm(values, order):
+    """Apply a permutation ``order [..., M]`` along the slot axis of
+    ``values [..., M, *ev]`` as a one-hot contraction.
+
+    NOTE (TPU): ``take_along_axis`` along the tiny slot axis lowers to a
+    serial per-element gather — the terminal compaction's gathers cost
+    ~100ms on a 16x14336x6 batch, more than several SMC iterations. The
+    one-hot einsum is pure vector math.
+    """
+    M = order.shape[-1]
+    onehot = (order[..., :, None] == jnp.arange(M)).astype(values.dtype)
+    ev = values.ndim - order.ndim
+    oh = onehot.reshape(onehot.shape + (1,) * ev)
+    # out[..., o, *ev] = sum_i onehot[..., o, i] * values[..., i, *ev]
+    return (oh * values[..., None, :, :] if ev == 1 else
+            oh * values[..., None, :]).sum(order.ndim)
+
+
 def compact_catalog(locs, fluxes, keep):
     """Move kept slots to the front of the object axis, zero the rest.
 
@@ -29,10 +47,8 @@ def compact_catalog(locs, fluxes, keep):
     """
     counts = keep.sum(-1).astype(jnp.int32)
     order = jnp.argsort(~keep, axis=-1, stable=True)
-    fluxes = jnp.take_along_axis(fluxes * keep, order, axis=-1)
-    locs = jnp.take_along_axis(
-        locs * keep[..., None], order[..., None], axis=-2
-    )
+    fluxes = _apply_slot_perm(fluxes * keep, order)
+    locs = _apply_slot_perm(locs * keep[..., None], order)
     return counts, locs, fluxes
 
 

@@ -76,13 +76,23 @@ def gather_particles(idx, *arrays, particle_axis: int, chunk: int = 512):
     ``take_along_axis``: a dynamic gather along the particle axis lowers to
     a serial per-element gather on TPU (~100ms for 229k particles, >50x the
     surrounding compute). Instead the permutation is applied as a one-hot
-    contraction on the MXU — the one-hot matrix is bf16 (exactly represents
-    0/1, so ``1.0 * value`` accumulated in f32 is exact) and is built in
-    ``chunk``-row blocks so its footprint stays at
-    ``batch * chunk * N * 2`` bytes regardless of N.
+    contraction on the MXU, built in ``chunk``-row blocks. The one-hot
+    traffic is O(N_in * N_out) per batch row, so very large particle axes
+    (e.g. the terminal flat resample over C*N catalogs) fall back to the
+    native gather, which is the cheaper regime there.
     """
     n_out = idx.shape[-1]
     batch = idx.shape[:-1]
+
+    if arrays[0].shape[particle_axis % arrays[0].ndim] > 4096:
+        out = []
+        for a in arrays:
+            ax = particle_axis % a.ndim
+            expand = a.ndim - (ax + 1)
+            ix = idx.reshape(idx.shape + (1,) * expand)
+            ix = jnp.broadcast_to(ix, idx.shape + a.shape[ax + 1 :])
+            out.append(jnp.take_along_axis(a, ix, axis=ax))
+        return out[0] if len(out) == 1 else tuple(out)
 
     # flatten every array to [B, N_in, D]; integer payloads ride along as
     # f32 (exact for |v| < 2^24) and are cast back afterwards

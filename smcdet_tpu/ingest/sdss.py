@@ -43,120 +43,115 @@ __all__ = [
 BANDS = ("u", "g", "r", "i", "z")
 
 
+# Declarative catalogue of the SDSS DR12 file products this pipeline
+# consumes. Each entry is (remote URL template, local path template,
+# decompressor). The URL/directory layout is an external fact of
+# data.sdss.org (DR12 data model); templates take the named fields
+# produced by ``_sdss_ids``: run (zero-stripped), run6 (6-digit), camcol,
+# field (zero-stripped), field4 (4-digit), band.
+_SDSS_URLBASE = "https://data.sdss.org/sas/dr12/boss"
+_SDSS_PRODUCTS = {
+    "photofield": (
+        "{base}/photoObj/301/{run}/photoField-{run6}-{camcol}.fits",
+        "{run}/{camcol}/photoField-{run6}-{camcol}.fits",
+        None,
+    ),
+    "photoobj": (
+        "{base}/photoObj/301/{run}/{camcol}/"
+        "photoObj-{run6}-{camcol}-{field4}.fits",
+        "{run}/{camcol}/{field}/photoObj-{run6}-{camcol}-{field4}.fits",
+        None,
+    ),
+    "frame": (
+        "{base}/photoObj/frames/301/{run}/{camcol}/"
+        "frame-{band}-{run6}-{camcol}-{field4}.fits.bz2",
+        "{run}/{camcol}/{field}/frame-{band}-{run6}-{camcol}-{field4}.fits",
+        bz2.decompress,
+    ),
+    "psfield": (
+        "{base}/photo/redux/301/{run}/objcs/{camcol}/"
+        "psField-{run6}-{camcol}-{field4}.fit",
+        "{run}/{camcol}/{field}/psField-{run6}-{camcol}-{field4}.fits",
+        None,
+    ),
+    "mask": (
+        "{base}/photo/redux/301/{run}/objcs/{camcol}/"
+        "fpM-{run6}-{band}{camcol}-{field4}.fit.gz",
+        "{run}/{camcol}/{field}/fpM-{run6}-{band}{camcol}-{field4}.fits",
+        gzip.decompress,
+    ),
+}
+
+
+def _sdss_ids(run=None, camcol=None, field=None, band=None) -> dict:
+    """Template fields for one (run, camcol, field, band) identifier."""
+    ids = {"base": _SDSS_URLBASE, "camcol": camcol, "band": band}
+    if run is not None:
+        ids["run"] = str(run).lstrip("0")
+        ids["run6"] = f"{int(ids['run']):06d}"
+    if field is not None:
+        ids["field"] = str(field).lstrip("0")
+        ids["field4"] = f"{int(ids['field']):04d}"
+    return ids
+
+
 class SDSSDownloader:
-    """SDSS DR12 file retrieval (sdss.py:242-362)."""
-
-    URLBASE = "https://data.sdss.org/sas/dr12/boss"
-
-    @staticmethod
-    def stripped(val) -> str:
-        return str(val).lstrip("0")
-
-    @staticmethod
-    def run6(run) -> str:
-        return f"{int(SDSSDownloader.stripped(run)):06d}"
-
-    @staticmethod
-    def field4(field) -> str:
-        return f"{int(SDSSDownloader.stripped(field)):04d}"
-
-    @staticmethod
-    def subdir2(run, camcol) -> str:
-        return f"{SDSSDownloader.stripped(run)}/{camcol}"
-
-    @staticmethod
-    def subdir3(run, camcol, field) -> str:
-        return (
-            f"{SDSSDownloader.subdir2(run, camcol)}/"
-            f"{SDSSDownloader.stripped(field)}"
-        )
+    """Cached retrieval of the SDSS products in ``_SDSS_PRODUCTS`` for a
+    list of (run, camcol, field) identifiers (role of the reference's
+    downloader, sdss.py:242-362; re-structured as a product table)."""
 
     def __init__(self, image_ids, download_dir):
         self.image_ids = image_ids
         self.download_dir = download_dir
 
-    def pf_path(self, run, camcol) -> str:
-        return (
-            f"{self.download_dir}/{self.subdir2(run, camcol)}/"
-            f"photoField-{self.run6(run)}-{camcol}.fits"
+    def local_path(self, product: str, **ids) -> str:
+        _, path_tpl, _ = _SDSS_PRODUCTS[product]
+        return f"{self.download_dir}/" + path_tpl.format(**_sdss_ids(**ids))
+
+    def fetch(self, product: str, **ids) -> str:
+        """Download one product (cached; decompressed on arrival)."""
+        url_tpl, _, decompress = _SDSS_PRODUCTS[product]
+        dst = self.local_path(product, **ids)
+        download_file_to_dst(
+            url_tpl.format(**_sdss_ids(**ids)),
+            dst,
+            decompress if decompress is not None else (lambda x: x),
         )
+        return dst
+
+    # -- convenience views used by SloanDigitalSkySurvey ----------------
+    def pf_path(self, run, camcol) -> str:
+        return self.local_path("photofield", run=run, camcol=camcol)
 
     def frame_path(self, run, camcol, field, band) -> str:
-        return (
-            f"{self.download_dir}/{self.subdir3(run, camcol, field)}/"
-            f"frame-{band}-{self.run6(run)}-{camcol}-{self.field4(field)}.fits"
+        return self.local_path(
+            "frame", run=run, camcol=camcol, field=field, band=band
         )
 
     def psfield_path(self, run, camcol, field) -> str:
-        return (
-            f"{self.download_dir}/{self.subdir3(run, camcol, field)}/"
-            f"psField-{self.run6(run)}-{camcol}-{self.field4(field)}.fits"
-        )
+        return self.local_path("psfield", run=run, camcol=camcol, field=field)
 
     def catalog_path(self, run, camcol, field) -> str:
-        return (
-            f"{self.download_dir}/{self.subdir3(run, camcol, field)}/"
-            f"photoObj-{self.run6(run)}-{camcol}-{self.field4(field)}.fits"
-        )
-
-    def download_pf(self, run, camcol):
-        download_file_to_dst(
-            f"{self.URLBASE}/photoObj/301/{self.stripped(run)}/"
-            f"photoField-{self.run6(run)}-{camcol}.fits",
-            self.pf_path(run, camcol),
-        )
+        return self.local_path("photoobj", run=run, camcol=camcol, field=field)
 
     def download_pfs(self):
         for run, camcol, _ in self.image_ids:
-            self.download_pf(run, camcol)
-
-    def download_catalog(self, rcf) -> str:
-        run, camcol, field = rcf
-        path = self.catalog_path(run, camcol, field)
-        download_file_to_dst(
-            f"{self.URLBASE}/photoObj/301/{self.stripped(run)}/{camcol}/"
-            f"photoObj-{self.run6(run)}-{camcol}-{self.field4(field)}.fits",
-            path,
-        )
-        return path
+            self.fetch("photofield", run=run, camcol=camcol)
 
     def download_catalogs(self):
-        for rcf in self.image_ids:
-            self.download_catalog(rcf)
-
-    def download_image(self, run, camcol, field, band="r"):
-        download_file_to_dst(
-            f"{self.URLBASE}/photo/redux/301/{self.stripped(run)}/objcs/"
-            f"{camcol}/fpM-{self.run6(run)}-{band}{camcol}-"
-            f"{self.field4(field)}.fit.gz",
-            f"{self.download_dir}/{self.subdir3(run, camcol, field)}/"
-            f"fpM-{self.run6(run)}-{band}{camcol}-{self.field4(field)}.fits",
-            gzip.decompress,
-        )
-        download_file_to_dst(
-            f"{self.URLBASE}/photoObj/frames/301/{self.stripped(run)}/"
-            f"{camcol}/frame-{band}-{self.run6(run)}-{camcol}-"
-            f"{self.field4(field)}.fits.bz2",
-            self.frame_path(run, camcol, field, band),
-            bz2.decompress,
-        )
+        for run, camcol, field in self.image_ids:
+            self.fetch("photoobj", run=run, camcol=camcol, field=field)
 
     def download_images(self):
         for run, camcol, field in self.image_ids:
             for band in BANDS:
-                self.download_image(run, camcol, field, band)
-
-    def download_psfield(self, run, camcol, field):
-        download_file_to_dst(
-            f"{self.URLBASE}/photo/redux/301/{self.stripped(run)}/objcs/"
-            f"{camcol}/psField-{self.run6(run)}-{camcol}-"
-            f"{self.field4(field)}.fit",
-            self.psfield_path(run, camcol, field),
-        )
+                ids = dict(run=run, camcol=camcol, field=field, band=band)
+                self.fetch("mask", **ids)
+                self.fetch("frame", **ids)
 
     def download_psfields(self):
         for run, camcol, field in self.image_ids:
-            self.download_psfield(run, camcol, field)
+            self.fetch("psfield", run=run, camcol=camcol, field=field)
 
     def download_all(self):
         Path(self.download_dir).mkdir(parents=True, exist_ok=True)

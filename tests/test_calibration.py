@@ -80,6 +80,7 @@ def posterior():
     }
 
 
+@pytest.mark.slow
 class TestCalibration:
     def test_count_confusion_symmetry(self, posterior):
         r = posterior["result"]
@@ -129,6 +130,7 @@ class TestCalibration:
         assert p > 0.005, p
 
 
+@pytest.mark.slow
 class TestM71Calibration:
     """Same checks on the Gaussian-noise M71 model family."""
 

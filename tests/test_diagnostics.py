@@ -25,6 +25,7 @@ class TestPhaseTimer:
         assert "a" in rep and "b" in rep and "share" in rep
 
 
+@pytest.mark.slow
 class TestHistory:
     @pytest.fixture(scope="class")
     def result(self):
@@ -57,6 +58,7 @@ class TestHistory:
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_roundtrip_smc_result(self, tmp_path):
         image, prior, model, kernel = two_star_image()
         cfg = SMCConfig(num_catalogs=32, max_smc_iters=10)

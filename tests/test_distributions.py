@@ -89,6 +89,7 @@ class TestTruncatedPareto:
 class TestReferenceParity:
     """Bit-level-formula parity against the reference torch implementation."""
 
+    @pytest.mark.slow
     def test_truncated_normal_log_prob_matches_reference(self):
         from reference_harness import load_reference
 

@@ -37,6 +37,7 @@ class TestPoissonRate:
         np.testing.assert_allclose(rate, 4.32 / 144.0, rtol=0.05)
 
 
+@pytest.mark.slow
 class TestImageModelFit:
     def test_recovers_noise_and_calibration(self):
         true_model = M71ImageModel(

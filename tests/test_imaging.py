@@ -208,6 +208,7 @@ class TestReferenceParity:
 
 
 class TestSimulator:
+    @pytest.mark.slow
     def test_generate_images_shapes_and_prune(self):
         prior = ParetoStarPrior(
             min_objects=0,

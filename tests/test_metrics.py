@@ -12,6 +12,7 @@ from smcdet_tpu.ops.assignment import linear_sum_assignment, pad_cost_matrix
 from smcdet_tpu.utils.units import convert_mag_to_nmgy, convert_nmgy_to_mag
 
 
+@pytest.mark.slow
 class TestAssignment:
     def test_matches_scipy_on_random_matrices(self):
         from scipy.optimize import linear_sum_assignment as ref_lsa

@@ -131,6 +131,7 @@ class TestRunner:
         assert files == ["smc_batch0000.npz"]
 
 
+@pytest.mark.slow
 class TestAggregationRunner:
     def test_smc_plus_aggregation_pipeline(self, tmp_path):
         import dataclasses

@@ -110,6 +110,7 @@ class TestRunCSMC:
         assert 0.003 < acc <= 1.0
 
 
+@pytest.mark.slow
 class TestSharding:
     def test_sharded_matches_single_device(self):
         from smcdet_tpu.parallel.sharding import shard_tiles_jit, tile_mesh

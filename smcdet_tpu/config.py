@@ -91,6 +91,7 @@ class AggregationConfig:
     resample_method: str = "multinomial"
     max_smc_iters: int = 100
     max_objects_cap: Optional[int] = None
+    relocate_sweeps: int = 8
 
 
 @dataclass

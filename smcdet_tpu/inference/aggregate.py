@@ -65,6 +65,10 @@ class AggregateConfig:
     max_smc_iters: int = struct.field(pytree_node=False, default=100)
     # Cap on the object-slot axis as it doubles per level (None = no cap).
     max_objects_cap: int | None = struct.field(pytree_node=False, default=None)
+    # Prior-draw relocation sweeps appended to each bridge mutation
+    # (kernels.relocate_sweeps): lets a source stuck on a tile
+    # corner/boundary jump across the merge seam in one move. 0 disables.
+    relocate_sweeps: int = struct.field(pytree_node=False, default=8)
 
 
 class AggregateState(NamedTuple):
@@ -348,7 +352,7 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
         )
 
     def body(carry):
-        key, k_res, k_mut = jax.random.split(carry.key, 3)
+        key, k_res, k_mut, k_rel = jax.random.split(carry.key, 4)
         done = carry.temperature >= 1.0
 
         # Within-stratum resampling (aggregate.py:485-521): draw one full
@@ -375,6 +379,12 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
         # mutation with the bridge target
         ctx = make_ctx(carry.temperature)
         kstate, acc = kernel.run(k_mut, ctx, state.counts, locs, fluxes)
+        if cfg.relocate_sweeps:
+            from smcdet_tpu.inference.kernels import relocate_sweeps
+
+            kstate = relocate_sweeps(
+                k_rel, ctx, state.counts, kstate, cfg.relocate_sweeps
+            )
         locs = jnp.where(keep[..., None, None], locs, kstate.locs)
         fluxes = jnp.where(keep[..., None], fluxes, kstate.fluxes)
         ld_new = kstate.parent_ll - kstate.child_ll
@@ -396,7 +406,6 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
     # flat weights = within-stratum weight x stratum probability
     count_pmf = jax.nn.softmax(carry.log_z, axis=-1)  # [Th,Tw,C]
     pmf_n = jnp.take_along_axis(count_pmf, counts_idx, axis=-1)
-    n_strat_n = jnp.take_along_axis(n_strat, counts_idx, axis=-1)
     flat_weights = carry.weights_ic * pmf_n
     flat_weights = flat_weights / jnp.maximum(
         flat_weights.sum(-1, keepdims=True), 1e-37
@@ -439,6 +448,7 @@ class Aggregate:
         ess_threshold_prop=0.5,
         max_smc_iters=100,
         max_objects_cap=None,
+        relocate_sweeps=8,
     ):
         if resample_method not in {"multinomial", "systematic"}:
             raise ValueError(
@@ -453,6 +463,7 @@ class Aggregate:
             flux_detection_threshold=flux_detection_threshold,
             max_smc_iters=max_smc_iters,
             max_objects_cap=max_objects_cap,
+            relocate_sweeps=relocate_sweeps,
         )
         data = jnp.asarray(data, dtype=jnp.float32)
         self.num_tiles_h, self.num_tiles_w = data.shape[:2]
@@ -545,6 +556,21 @@ class Aggregate:
             )
             state, diag = step(k_level, state)
             self.diagnostics.append(jax.device_get(diag))
+            d = self.diagnostics[-1]
+            if (d["temperature"] < 1.0).any():
+                import warnings
+
+                n_stuck = int((d["temperature"] < 1.0).sum())
+                warnings.warn(
+                    f"aggregation level {level}: {n_stuck} merged tile(s) "
+                    f"exited the bridge at the max_smc_iters="
+                    f"{self.config.max_smc_iters} cap with temperature < 1 "
+                    f"(min {float(d['temperature'].min()):.3f}) — the bridge "
+                    "posterior for those tiles is biased toward the "
+                    "product-of-children target; raise max_smc_iters or "
+                    "relocate_sweeps",
+                    stacklevel=2,
+                )
             if verbose:
                 d = self.diagnostics[-1]
                 print(

@@ -30,7 +30,13 @@ from smcdet_tpu.distributions import (
     truncated_normal_sample,
 )
 
-__all__ = ["TargetContext", "KernelState", "SingleComponentMH", "SingleComponentMALA"]
+__all__ = [
+    "TargetContext",
+    "KernelState",
+    "SingleComponentMH",
+    "SingleComponentMALA",
+    "relocate_sweeps",
+]
 
 
 @struct.dataclass
@@ -384,6 +390,108 @@ class SingleComponentMH:
         (state, accept), _ = jax.lax.scan(body, (state, init_accept), keys)
         acc_rate = accept.astype(jnp.float32).mean(-1)
         return state, acc_rate
+
+
+def relocate_sweeps(key, ctx: TargetContext, counts, state: KernelState,
+                    num_sweeps: int):
+    """Independence (prior-draw) relocation of one active star per sweep.
+
+    The aggregation bridge's mixing fix: a random-walk single-component
+    move cannot carry a star across the low-probability valley between a
+    child-tile mode and the joint-parent mode when a source sits on a tile
+    corner/boundary (the multimodal scenario of
+    /root/reference/experiments/m71synthetic/divideandconquer.ipynb; the
+    reference mutates the bridge with the same random-walk kernel,
+    aggregate.py:176-187, and simply mixes slowly). A prior-draw proposal
+    jumps anywhere in the padded box in one move: slot ``j`` gets
+    ``loc ~ Uniform(box)``, ``flux ~ prior marks``, and because proposal
+    density and prior terms cancel, the acceptance ratio reduces to the
+    tempered likelihood-term ratio. Counts never change, so the bridge's
+    fixed stratum structure stays valid.
+    """
+    locs_shape = state.locs.shape
+
+    def sweep(st: KernelState, k):
+        locs, fluxes = st.locs, st.fluxes
+        batchN = counts.shape
+        M = fluxes.shape[-1]
+        k_j, k_loc, k_flux, k_acc = jax.random.split(k, 4)
+
+        j = jax.random.randint(k_j, batchN, 0, M)
+        active = j < counts
+        onehot = jnp.arange(M) == j[..., None]
+
+        loc_j = _take_slot(locs, onehot)
+        f_j = _take_slot(fluxes, onehot)
+
+        prior = ctx.prior
+        loc_prop = prior.loc_low + (
+            prior.loc_high - prior.loc_low
+        ) * jax.random.uniform(k_loc, batchN + (2,))
+        if prior.flux is not None:
+            f_prop = prior.flux.sample(k_flux, batchN)
+        else:
+            f_prop = f_j
+
+        eff = jnp.asarray(ctx.model.adu_per_nmgy)
+        old_parent, old_child = ctx.star_images(loc_j)
+        new_parent, new_child = ctx.star_images(loc_prop)
+        a = active[..., None]
+        dparent = eff * (
+            f_prop[..., None] * new_parent - f_j[..., None] * old_parent
+        )
+        rate_prop = st.rate + jnp.where(a, dparent, 0.0)
+        if st.child_rate is not None:
+            dchild = eff * (
+                f_prop[..., None] * new_child - f_j[..., None] * old_child
+            )
+            child_rate_prop = st.child_rate + jnp.where(a, dchild, 0.0)
+        else:
+            child_rate_prop = None
+
+        parent_ll_prop, child_ll_prop = ctx.loglik_terms(
+            rate_prop, child_rate_prop
+        )
+        logprior_prop = st.logprior + _flux_prior_delta(
+            prior, active, f_j, f_prop
+        )
+
+        # Prior-draw proposal: q_fwd = prior(mark_new), q_rev =
+        # prior(mark_old); these cancel the logprior delta, leaving the
+        # tempered likelihood-term ratio.
+        log_q_rev_minus_fwd = -_flux_prior_delta(prior, active, f_j, f_prop)
+        log_alpha = (
+            ctx.combine(logprior_prop, parent_ll_prop, child_ll_prop)
+            - ctx.combine(st.logprior, st.parent_ll, st.child_ll)
+            + log_q_rev_minus_fwd
+        )
+        u = jax.random.uniform(k_acc, batchN)
+        apply = active & (u <= jnp.exp(jnp.minimum(log_alpha, 0.0)))
+
+        a_px = apply[..., None]
+        new_state = KernelState(
+            locs=_apply_slot_update(locs, onehot, loc_prop, apply),
+            fluxes=_apply_slot_update(fluxes, onehot, f_prop, apply),
+            rate=jnp.where(a_px, rate_prop, st.rate),
+            child_rate=(
+                None
+                if st.child_rate is None
+                else jnp.where(a_px, child_rate_prop, st.child_rate)
+            ),
+            parent_ll=jnp.where(apply, parent_ll_prop, st.parent_ll),
+            child_ll=(
+                None
+                if st.child_ll is None
+                else jnp.where(apply, child_ll_prop, st.child_ll)
+            ),
+            logprior=jnp.where(apply, logprior_prop, st.logprior),
+        )
+        return new_state, None
+
+    keys = jax.random.split(key, num_sweeps)
+    state, _ = jax.lax.scan(lambda st, k: sweep(st, k), state, keys)
+    assert state.locs.shape == locs_shape
+    return state
 
 
 @struct.dataclass

@@ -115,6 +115,7 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
                 ess_threshold_prop=cfg.aggregation.ess_threshold_prop,
                 max_smc_iters=cfg.aggregation.max_smc_iters,
                 max_objects_cap=cfg.aggregation.max_objects_cap,
+                relocate_sweeps=cfg.aggregation.relocate_sweeps,
             )
             agg.run(k_agg)
             outs.append(

@@ -127,8 +127,7 @@ def _context(prior, model, images, temperature):
     )
 
 
-def _temper_and_reweight(prior, model, images, cfg, strata, state,
-                         loglik=None):
+def _temper_and_reweight(prior, model, images, cfg, state, loglik=None):
     """Adaptive tempering + incremental weight/logZ/ESS update.
 
     Parity: sampler.py:99-125 (temper) and :181-196 (update_weights), per
@@ -256,7 +255,7 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
     kstate0 = init_kernel_state(ctx0, counts_b, locs, fluxes)
     state = state._replace(rate=kstate0.rate, logprior=kstate0.logprior)
     state = _temper_and_reweight(
-        prior, model, images, cfg, strata, state, loglik=kstate0.parent_ll
+        prior, model, images, cfg, state, loglik=kstate0.parent_ll
     )
 
     # ------------------------------------------------------------------
@@ -350,7 +349,7 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
             iteration=state.iteration + 1,
         )
         state = _temper_and_reweight(
-            prior, model, images, cfg, strata, state, loglik=loglik
+            prior, model, images, cfg, state, loglik=loglik
         )
 
         if cfg.record_history:

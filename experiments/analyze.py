@@ -7,10 +7,11 @@ Computes, from a finished experiment's artifacts
 - posterior count confusion matrix + symmetry (results.ipynb cells 29-34);
 - credible-interval coverage of total flux (cells 35-36);
 - SBC rank uniformity (cell 40);
-- detection precision/recall/F1 vs the truth via Hungarian matching
-  (cells 45-47), including the tuned extractor baseline when
-  ``sep_results.npz`` exists;
-- runtime summary (cell 56).
+- detection precision/recall/F1 vs the truth via Hungarian matching,
+  with bootstrap confidence intervals over images (cells 45-47),
+  including the tuned extractor baseline when ``sep_results.npz`` exists;
+- runtime summary + runtime-vs-count (cell 56);
+- publication figures for all of the above (``figures/*.png``).
 
 Usage: python experiments/analyze.py output/<name> [--mag-bins 15 18 21 24]
 """
@@ -24,6 +25,52 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
+COVERAGE_LEVELS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95]
+
+
+def bootstrap_prf(mc, n_boot: int, seed: int = 0):
+    """Bootstrap P/R/F1 over images (the tile axis of ``MatchCounts``).
+
+    Resampling T images with replacement is equivalent to drawing
+    multinomial weights over images and re-doing the sum-over-images in
+    compute_precision_recall_f1 — one [n_boot, T] x [T, S*B] matmul
+    instead of materializing resampled count arrays
+    (results.ipynb cells 45-47 semantics).
+
+    Returns ``{metric: [n_boot, n_bins]}`` with the sampled-catalog axis
+    already averaged out.
+    """
+    tt = np.asarray(mc.num_true_total, dtype=np.float64)
+    tm = np.asarray(mc.num_true_matches, dtype=np.float64)
+    et = np.asarray(mc.num_est_total, dtype=np.float64)
+    em = np.asarray(mc.num_est_matches, dtype=np.float64)
+    T = tt.shape[0]
+    rng = np.random.default_rng(seed)
+    w = rng.multinomial(T, np.full(T, 1.0 / T), size=n_boot).astype(np.float64)
+
+    def agg(a):  # [T, S, B] -> [n_boot, S, B]
+        return np.tensordot(w, a.reshape(T, -1), axes=(1, 0)).reshape(
+            (n_boot,) + a.shape[1:]
+        )
+
+    btt, btm, bet, bem = agg(tt), agg(tm), agg(et), agg(em)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        precision = np.nan_to_num(bem / bet)
+        recall = np.nan_to_num(btm / btt)
+        f1 = np.nan_to_num(2 * precision * recall / (precision + recall))
+    return {
+        "precision": precision.mean(1),
+        "recall": recall.mean(1),
+        "f1": f1.mean(1),
+    }
+
+
+def ci_summary(point, boot, alpha=0.05):
+    """``[3, n_bins]`` (lo, point, hi) from a bootstrap sample."""
+    lo = np.quantile(boot, alpha / 2, axis=0)
+    hi = np.quantile(boot, 1 - alpha / 2, axis=0)
+    return np.stack([lo, np.asarray(point), hi])
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -35,6 +82,8 @@ def main():
     parser.add_argument("--num-match", type=int, default=50)
     parser.add_argument("--locs-tol", type=float, default=0.5)
     parser.add_argument("--mags-tol", type=float, default=0.5)
+    parser.add_argument("--bootstrap", type=int, default=1000)
+    parser.add_argument("--no-figures", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -74,12 +123,19 @@ def main():
 
     truth_total = truth_fluxes.sum(-1)
     est_total = res["pruned_fluxes"].sum(-1)
-    levels = [0.5, 0.8, 0.95]
+    # Coverage over images with at least one true source, mirroring the
+    # reference (m71synthetic results.ipynb cell 39: pruned_counts > 0) —
+    # zero-truth images put a posterior atom exactly at the true value,
+    # which trivially covers at every level and distorts the curve.
+    nz = truth_counts > 0
     cov = credible_interval_coverage(
-        truth_total, est_total, levels, weights=weights
+        truth_total[nz],
+        est_total[nz],
+        COVERAGE_LEVELS,
+        weights=weights[nz] if weights is not None else None,
     )
     report["total_flux_coverage"] = {
-        str(l): round(float(c), 4) for l, c in zip(levels, cov)
+        str(l): round(float(c), 4) for l, c in zip(COVERAGE_LEVELS, cov)
     }
     ranks = sbc_ranks(truth_total, est_total, weights=weights)
     report["sbc_total_flux_ks_pvalue"] = round(sbc_uniformity_pvalue(ranks), 5)
@@ -99,12 +155,23 @@ def main():
         est_weights=jnp.asarray(weights) if weights is not None else None,
     )
     p, r, f1 = compute_precision_recall_f1(mc)
+    point = {
+        "precision": np.asarray(p).mean(0),
+        "recall": np.asarray(r).mean(0),
+        "f1": np.asarray(f1).mean(0),
+    }
+    boot = bootstrap_prf(mc, args.bootstrap)
+    smc_ci = {m: ci_summary(point[m], boot[m]) for m in point}
     report["detection"] = {
-        "precision_by_bin": np.round(np.asarray(p).mean(0), 4).tolist(),
-        "recall_by_bin": np.round(np.asarray(r).mean(0), 4).tolist(),
-        "f1_by_bin": np.round(np.asarray(f1).mean(0), 4).tolist(),
+        f"{m}_by_bin": {
+            "point": np.round(smc_ci[m][1], 4).tolist(),
+            "ci95_lo": np.round(smc_ci[m][0], 4).tolist(),
+            "ci95_hi": np.round(smc_ci[m][2], 4).tolist(),
+        }
+        for m in ("precision", "recall", "f1")
     }
 
+    sep_ci = None
     sep_path = out_dir / "sep_results.npz"
     if sep_path.exists():
         sep = np.load(sep_path)
@@ -122,15 +189,53 @@ def main():
             mags_tol=args.mags_tol,
             mag_bins=jnp.asarray(args.mag_bins),
         )
-        _, _, f1s = compute_precision_recall_f1(mc_sep)
-        report["sep_baseline_f1_by_bin"] = np.round(
-            np.asarray(f1s).mean(0), 4
-        ).tolist()
+        ps, rs, f1s = compute_precision_recall_f1(mc_sep)
+        sep_point = {
+            "precision": np.asarray(ps).mean(0),
+            "recall": np.asarray(rs).mean(0),
+            "f1": np.asarray(f1s).mean(0),
+        }
+        sep_boot = bootstrap_prf(mc_sep, args.bootstrap, seed=1)
+        sep_ci = {m: ci_summary(sep_point[m], sep_boot[m]) for m in sep_point}
+        report["sep_baseline"] = {
+            f"{m}_by_bin": {
+                "point": np.round(sep_ci[m][1], 4).tolist(),
+                "ci95_lo": np.round(sep_ci[m][0], 4).tolist(),
+                "ci95_hi": np.round(sep_ci[m][2], 4).tolist(),
+            }
+            for m in ("precision", "recall", "f1")
+        }
 
+    runtimes_per_image = res.get("runtime_per_image")
     report["runtime_s"] = {
         "total": round(float(res["runtime"].sum()), 2),
         "per_batch_mean": round(float(res["runtime"].mean()), 2),
     }
+    if runtimes_per_image is not None:
+        report["runtime_s"]["per_image_mean"] = round(
+            float(np.mean(runtimes_per_image)), 4
+        )
+        report["runtime_s"]["per_image_max"] = round(
+            float(np.max(runtimes_per_image)), 4
+        )
+
+    if not args.no_figures:
+        from figures import save_all
+
+        fig_names = save_all(
+            out_dir / "figures",
+            mag_bins=args.mag_bins,
+            smc_ci=smc_ci,
+            sep_ci=sep_ci,
+            confusion=M,
+            levels=COVERAGE_LEVELS,
+            coverage=cov,
+            n_images=int(nz.sum()),
+            ranks=ranks,
+            true_counts=truth_counts,
+            runtimes=runtimes_per_image,
+        )
+        report["figures"] = fig_names
 
     print(json.dumps(report, indent=2))
     with open(out_dir / f"{args.method}_analysis.json", "w") as f:

@@ -94,7 +94,9 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
 
     def run(key, imgs):
         outs = []
+        per_image_s = []
         for i in range(imgs.shape[0]):
+            start = time.perf_counter()
             k_smc, k_agg = jax.random.split(jax.random.fold_in(key, i))
             sampler = SMCSampler(
                 image=imgs[i],
@@ -118,6 +120,8 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
                 relocate_sweeps=cfg.aggregation.relocate_sweeps,
             )
             agg.run(k_agg)
+            jax.block_until_ready(agg.state.counts)
+            per_image_s.append(time.perf_counter() - start)
             outs.append(
                 {
                     "counts": agg.state.counts[0, 0],
@@ -133,6 +137,7 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
         stacked = {
             k: jnp.stack([o[k] for o in outs]) for k in outs[0]
         }
+        stacked["runtime_per_image"] = jnp.asarray(per_image_s)
         from collections import namedtuple
 
         Result = namedtuple("AggregatedResult", sorted(stacked))

@@ -68,14 +68,6 @@ class SMCConfig:
     fixed_schedule: tuple | None = struct.field(
         pytree_node=False, default=None
     )
-    # Re-render the mutation caches every k iterations. k=1 (default)
-    # re-renders each iteration like the reference (sampler.py:100-103);
-    # k>1 carries the caches through resampling instead — cheaper per
-    # iteration but f32 accumulation drift in the incrementally updated
-    # rate images loosens the adaptive tempering steps (measured: 23
-    # iterations at k=1 vs 72 at k=8 on the M71 benchmark), so it only
-    # pays off when the render is very expensive (large tiles).
-    refresh_every: int = struct.field(pytree_node=False, default=1)
 
 
 class SMCState(NamedTuple):
@@ -90,9 +82,9 @@ class SMCState(NamedTuple):
     ess: jax.Array  # [T, C]
     acc_rate: jax.Array  # [T]
     iteration: jax.Array  # scalar i32
-    # Mutation-kernel caches carried across iterations (resampled with the
-    # particles, refreshed every cfg.refresh_every iterations to bound f32
-    # accumulation drift). rate: [T, C, N, H*W] flat; logprior: [T, C, N].
+    # Mutation-kernel caches, re-rendered from the resampled particles at
+    # the top of each iteration. rate: [T, C, N, H*W] flat;
+    # logprior: [T, C, N].
     rate: Optional[jax.Array] = None
     logprior: Optional[jax.Array] = None
     history: Optional[dict] = None  # {temperature, ess, acc_rate} buffers
@@ -278,44 +270,21 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
             k_res, state.weights, N, cfg.resample_method
         )  # [T, C, N]
         ctx = _context(prior, model, images, state.temperature)
-        if cfg.refresh_every == 1:
-            # re-render the caches from the resampled particles (exact)
-            locs, fluxes = gather_particles(
-                idx, state.locs, state.fluxes, particle_axis=2
-            )
-            locs = jnp.where(keep[..., None, None], state.locs, locs)
-            fluxes = jnp.where(keep[..., None], state.fluxes, fluxes)
-            ks = init_kernel_state(ctx, counts_b, locs, fluxes)
-            rate, loglik, logprior = ks.rate, ks.parent_ll, ks.logprior
-        else:
-            # carry the caches through the permutation; refresh every k
-            # iterations to bound f32 accumulation drift
-            locs, fluxes, loglik, logprior, rate = gather_particles(
-                idx,
-                state.locs,
-                state.fluxes,
-                state.loglik,
-                state.logprior,
-                state.rate,
-                particle_axis=2,
-            )
-            locs = jnp.where(keep[..., None, None], state.locs, locs)
-            fluxes = jnp.where(keep[..., None], state.fluxes, fluxes)
-            loglik = jnp.where(keep, state.loglik, loglik)
-            logprior = jnp.where(keep, state.logprior, logprior)
-            rate = jnp.where(keep[..., None], state.rate, rate)
-
-            def refresh(_):
-                ks = init_kernel_state(ctx, counts_b, locs, fluxes)
-                return ks.rate, ks.parent_ll, ks.logprior
-
-            rate, loglik, logprior = jax.lax.cond(
-                state.iteration % cfg.refresh_every
-                == cfg.refresh_every - 1,
-                refresh,
-                lambda _: (rate, loglik, logprior),
-                operand=None,
-            )
+        # Re-render the mutation caches from the resampled particles each
+        # iteration, like the reference (sampler.py:100-103). Carrying the
+        # incrementally-updated caches through resampling instead was
+        # measured to lose badly: f32 accumulation drift in the rate
+        # images loosens the adaptive tempering steps (23 iterations
+        # re-rendering vs 72 carrying over 8 iterations on the M71
+        # bench), while the render itself is a small fraction of a
+        # sweep-dominated iteration.
+        locs, fluxes = gather_particles(
+            idx, state.locs, state.fluxes, particle_axis=2
+        )
+        locs = jnp.where(keep[..., None, None], state.locs, locs)
+        fluxes = jnp.where(keep[..., None], state.fluxes, fluxes)
+        ks = init_kernel_state(ctx, counts_b, locs, fluxes)
+        rate, loglik, logprior = ks.rate, ks.parent_ll, ks.logprior
         weights = jnp.where(keep, state.weights, 1.0 / N)
 
         # mutate (sampler.py:171-179 → kernel.run_from_state)

@@ -220,3 +220,55 @@ class TestFixedSchedule:
         temps = np.asarray(r.history["temperature"])[:3, 0]
         np.testing.assert_allclose(temps, [0.3, 0.6, 1.0], atol=1e-6)
         np.testing.assert_allclose(float(r.temperature[0]), 1.0)
+
+
+class TestChunkedTiles:
+    def test_chunked_matches_unchunked(self):
+        """Forcing the memory-budget chunking must reproduce the
+        unchunked pipeline: same shapes, every tile tempered to 1, and
+        per-tile posterior summaries within MC tolerance (the chunks use
+        independent fold_in keys, so bit-identity is not expected)."""
+        prior, model, kernel = make_setup()
+        key = jax.random.key(3)
+        # 4 tiles as one 16x16 image
+        locs = jnp.asarray([[2.0, 2.5], [5.5, 5.0], [0.0, 0.0]])
+        fluxes = jnp.asarray([2000.0, 2100.0, 0.0])
+        tile = model.sample(key, locs, fluxes)
+        image = jnp.concatenate(
+            [jnp.concatenate([tile, tile], 1)] * 2, 0
+        )  # [16, 16]
+
+        def build():
+            return SMCSampler(
+                image=image,
+                tile_dim=8,
+                Prior=prior,
+                ImageModel=model,
+                MutationKernel=kernel,
+                num_catalogs=512,
+                max_smc_iters=50,
+                flux_detection_threshold=200.0,
+            )
+
+        whole = build()
+        res_whole = whole.run(jax.random.key(7))
+
+        chunked = build()
+        chunked.memory_budget_bytes = 1  # force chunk size 1
+        assert chunked._max_tiles_per_chunk() == 1
+        res_chunk = chunked.run(jax.random.key(7))
+
+        assert res_chunk.counts.shape == res_whole.counts.shape
+        assert res_chunk.pruned_locs.shape == res_whole.pruned_locs.shape
+        np.testing.assert_allclose(np.asarray(res_chunk.temperature), 1.0)
+        mean_whole = np.asarray(whole.posterior_mean_count())
+        mean_chunk = np.asarray(chunked.posterior_mean_count())
+        # all four tiles are copies of a clear 2-star scene
+        np.testing.assert_allclose(mean_chunk, mean_whole, atol=0.25)
+        lz_whole = np.asarray(res_whole.log_normalizing_constant)
+        lz_chunk = np.asarray(res_chunk.log_normalizing_constant)
+        pmf_whole = np.exp(lz_whole - lz_whole.max(-1, keepdims=True))
+        pmf_whole /= pmf_whole.sum(-1, keepdims=True)
+        pmf_chunk = np.exp(lz_chunk - lz_chunk.max(-1, keepdims=True))
+        pmf_chunk /= pmf_chunk.sum(-1, keepdims=True)
+        np.testing.assert_allclose(pmf_chunk, pmf_whole, atol=0.15)

@@ -161,7 +161,27 @@ def main():
     cfg = experiment_config(Path(__file__))
     out_dir = Path(cfg.output_dir) / cfg.name
     tiles = np.load(out_dir / "tiles.npz")
-    idx = int(np.flatnonzero(tiles["true_counts"] == args.true_count)[0])
+    cand = np.flatnonzero(tiles["true_counts"] == args.true_count)
+    # Prefer an image whose posterior count is genuinely uncertain (the
+    # manuscript's repeated-runs image shows visible spread in p(s|x)):
+    # rank candidates by posterior count entropy from the production run.
+    idx = int(cand[0])
+    try:
+        from smcdet_tpu.runner import load_results
+
+        smc = load_results(out_dir, "smc")
+        ent = np.zeros(len(cand))
+        for j, i in enumerate(cand):
+            if i >= smc["pruned_counts"].shape[0]:
+                continue
+            w, c = smc["weights"][i], smc["pruned_counts"][i]
+            pmf = np.bincount(c, weights=w, minlength=10)
+            pmf = pmf / pmf.sum()
+            ent[j] = -(pmf[pmf > 0] * np.log(pmf[pmf > 0])).sum()
+        idx = int(cand[np.argmax(ent)])
+        print(f"max posterior count entropy among candidates: {ent.max():.3f}")
+    except FileNotFoundError:
+        pass
     img = jnp.asarray(tiles["images"][idx], dtype=jnp.float32)
     print(f"image {idx}: true count {args.true_count}")
 

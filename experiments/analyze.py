@@ -222,6 +222,13 @@ def main():
     if not args.no_figures:
         from figures import save_all
 
+        # detected stars per mag bin: truth, posterior spread, extractor
+        # (results.ipynb cell 57). The SEP run covers the odd-index eval
+        # half only, so scale truth/SMC by the matched image subsets.
+        true_binned = np.asarray(mc.num_true_total)[:, 0, :].sum(0)
+        est_binned = np.asarray(mc.num_est_total).sum(0)  # [S, B]
+        classified = (true_binned, est_binned)
+
         fig_names = save_all(
             out_dir / "figures",
             mag_bins=args.mag_bins,
@@ -234,6 +241,7 @@ def main():
             ranks=ranks,
             true_counts=truth_counts,
             runtimes=runtimes_per_image,
+            classified=classified,
         )
         report["figures"] = fig_names
 

@@ -188,8 +188,43 @@ def plot_runtime(out_path, true_counts, runtimes):
     plt.close(fig)
 
 
+def plot_classified_counts(out_path, mag_bins, true_total, est_by_catalog,
+                           sep_total=None):
+    """Number of detected stars per magnitude bin: truth vs the posterior
+    spread vs the extractor point estimate (results.ipynb cell 57).
+    ``est_by_catalog``: ``[S, n_bins]`` totals per sampled catalog."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    labels = _bin_labels(mag_bins)
+    x = np.arange(len(labels))
+    est = np.asarray(est_by_catalog)
+    fig, ax = plt.subplots(figsize=(6.0, 4.2))
+    ax.plot(x, np.asarray(true_total), color="#1a1a19", linewidth=2,
+            marker="v", markersize=6, label="true catalog")
+    ax.vlines(x, np.quantile(est, 0.05, 0), np.quantile(est, 0.95, 0),
+              color=SMC_COLOR, linewidth=2)
+    ax.plot(x, np.median(est, 0), color=SMC_COLOR, linewidth=2, marker="o",
+            markersize=5, label="CS-SMC (median, 90% band)")
+    if sep_total is not None:
+        ax.plot(x, np.asarray(sep_total), color=SEP_COLOR, linewidth=2,
+                marker="s", markersize=5, label="extractor (tuned)")
+    ax.set_xticks(x, labels, rotation=30, fontsize=8)
+    ax.set_xlabel("magnitude bin (fainter →)")
+    ax.set_ylabel("number of stars")
+    ax.set_title("Detected stars by magnitude", fontsize=11)
+    ax.legend(frameon=False, fontsize=9)
+    _style(ax)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+
+
 def save_all(fig_dir, *, mag_bins, smc_ci, sep_ci, confusion, levels,
-             coverage, n_images, ranks, true_counts, runtimes):
+             coverage, n_images, ranks, true_counts, runtimes,
+             classified=None):
     fig_dir = Path(fig_dir)
     fig_dir.mkdir(parents=True, exist_ok=True)
     plot_detection(fig_dir / "detection.png", mag_bins, smc_ci, sep_ci)
@@ -198,4 +233,7 @@ def save_all(fig_dir, *, mag_bins, smc_ci, sep_ci, confusion, levels,
     plot_sbc(fig_dir / "sbc.png", ranks)
     if runtimes is not None:
         plot_runtime(fig_dir / "runtime.png", true_counts, runtimes)
+    if classified is not None:
+        plot_classified_counts(fig_dir / "classified_counts.png", mag_bins,
+                               *classified)
     return sorted(p.name for p in fig_dir.glob("*.png"))

@@ -272,3 +272,54 @@ class TestChunkedTiles:
         pmf_chunk = np.exp(lz_chunk - lz_chunk.max(-1, keepdims=True))
         pmf_chunk /= pmf_chunk.sum(-1, keepdims=True)
         np.testing.assert_allclose(pmf_chunk, pmf_whole, atol=0.15)
+
+
+@pytest.mark.slow
+def test_saturated_single_stratum_mode():
+    """The reference's *current* drivers run a single saturated stratum
+    (min_objects == max_objects == 10, num_counts == 1; e.g.
+    /root/reference/experiments/m71synthetic/run_smc.py:50-51 and
+    notebooks/smc.ipynb) with the detectable count emerging entirely from
+    pruning. The general count stratification must subsume this mode."""
+    from smcdet_tpu.models.imaging import M71ImageModel
+    from smcdet_tpu.models.priors import M71Prior
+
+    prior = M71Prior(
+        min_objects=10, max_objects=10, counts_rate=0.03,
+        image_height=8, image_width=8, flux_alpha=0.214,
+        flux_lower=0.252, flux_upper=1804.679, pad=4.0,
+    )
+    assert prior.num_counts == 1
+    model = M71ImageModel(
+        image_height=8, image_width=8, background=865.0,
+        adu_per_nmgy=856.0, psf_radius=8,
+        psf_params=(1.51, 4.85, 1.32, 3.0, 0.09, 0.002),
+        noise_multiplicative=1.94,
+    )
+    kernel = SingleComponentMH(
+        num_iters=100, locs_stdev=jnp.float32(0.25),
+        fluxes_stdev=jnp.float32(5.0),
+        fluxes_min=jnp.float32(0.252), fluxes_max=jnp.float32(1804.679),
+    )
+    key = jax.random.key(0)
+    img = model.sample(
+        key,
+        jnp.asarray([[3.0, 3.0], [5.0, 6.0]] + [[0.0, 0.0]] * 8),
+        jnp.asarray([800.0, 600.0] + [0.0] * 8),
+    )
+    cfg = SMCConfig(
+        num_catalogs=1024, ess_threshold_prop=0.5,
+        resample_method="systematic", max_smc_iters=100,
+        flux_detection_threshold=0.7,
+    )
+    res = jax.jit(run_csmc)(key, img[None], prior, model, kernel, cfg)
+    assert res.log_normalizing_constant.shape == (1, 1)
+    np.testing.assert_allclose(float(res.temperature[0]), 1.0)
+    pc = np.asarray(res.pruned_counts[0])
+    w = np.asarray(res.weights[0])
+    pmf = np.bincount(pc, weights=w, minlength=11)
+    # two bright true stars: posterior mass concentrates on 2-3
+    # detectable sources (3 = an occasional padding star), none at 10
+    assert pmf[2] + pmf[3] > 0.8
+    assert pmf[0] + pmf[1] < 0.05
+    assert pmf[8:].sum() < 0.01

@@ -222,10 +222,12 @@ def main():
         "logpx_mid90_width_at_true_count": np.round(w_logpx, 4).tolist(),
         "count_prob_mid90_width_at_true_count": np.round(w_pmf, 4).tolist(),
         # shrinkage: the best (largest N, most steps) config must be
-        # tighter than the worst (smallest N, fewest steps) one
+        # tighter than the worst (smallest N, fewest steps) one; a width
+        # that is already ~0 at the weakest config (degenerate posterior,
+        # e.g. an unambiguous 1-star image) counts as trivially shrunk
         "shrinks_with_N_and_steps": bool(
-            w_logpx[-1, -1] < w_logpx[0, 0]
-            and w_pmf[-1, -1] < w_pmf[0, 0]
+            (w_logpx[-1, -1] < w_logpx[0, 0] or w_logpx[0, 0] <= 1e-4)
+            and (w_pmf[-1, -1] < w_pmf[0, 0] or w_pmf[0, 0] <= 1e-4)
         ),
     }
     with open(out_dir / f"repeatedruns_s{s}_summary.json", "w") as f:

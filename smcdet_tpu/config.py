@@ -85,6 +85,19 @@ class SamplerConfig:
 
 
 @dataclass
+class MCMCExperimentConfig:
+    """Saturated-MH baseline settings (reference run_mcmc.py:72-75,113-115:
+    50k samples / 30k burn-in / thin 2, smaller proposal scales than the
+    SMC mutation kernel)."""
+
+    num_samples_total: int = 50_000
+    num_samples_burnin: int = 30_000
+    keep_every_k: int = 2
+    locs_stdev: float = 0.1
+    fluxes_stdev: float = 2.5
+
+
+@dataclass
 class AggregationConfig:
     enabled: bool = False
     ess_threshold_prop: float = 0.5
@@ -107,6 +120,7 @@ class ExperimentConfig:
     kernel: KernelConfig = field(default_factory=KernelConfig)
     sampler: SamplerConfig = field(default_factory=SamplerConfig)
     aggregation: AggregationConfig = field(default_factory=AggregationConfig)
+    mcmc: MCMCExperimentConfig = field(default_factory=MCMCExperimentConfig)
 
 
 def build_prior(cfg: PriorConfig):
@@ -218,6 +232,7 @@ _SUBCONFIGS = {
     "kernel": KernelConfig,
     "sampler": SamplerConfig,
     "aggregation": AggregationConfig,
+    "mcmc": MCMCExperimentConfig,
 }
 
 

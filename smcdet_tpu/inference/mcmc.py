@@ -67,8 +67,18 @@ def run_mh(key, images, prior, model, kernel: SingleComponentMH, cfg) -> MCMCRes
     M = prior.max_objects
     counts = jnp.full((T, 1), M, dtype=jnp.int32)
 
+    # Empty start (reference sampler.py:360-367: slot fluxes init to zero):
+    # locs from the prior, every slot's flux pinned at the support floor —
+    # below the detection threshold, so the chain starts with no detectable
+    # stars and grows them as the likelihood demands. A full prior draw
+    # instead seeds up to ``max_objects`` bright Pareto stars that
+    # single-site MH can essentially never kill (down-moves through the
+    # joint-fit local mode are rejected; measured acc rates 0.01-0.1 with
+    # chains stuck at pruned_count == max_objects).
     key, k_init = jax.random.split(key)
     locs, fluxes = prior.sample_marks(k_init, counts, (T, 1))
+    if fluxes is not None:
+        fluxes = jnp.full_like(fluxes, kernel.fluxes_min)
 
     ctx = TargetContext(
         prior=prior,

@@ -193,12 +193,16 @@ def run_experiment(
         from smcdet_tpu.inference.mcmc import MCMCConfig, run_mh
 
         mc_cfg = MCMCConfig(
-            num_samples_total=cfg.sampler.num_catalogs * 10,
-            num_samples_burnin=cfg.sampler.num_catalogs * 5,
-            keep_every_k=2,
+            num_samples_total=cfg.mcmc.num_samples_total,
+            num_samples_burnin=cfg.mcmc.num_samples_burnin,
+            keep_every_k=cfg.mcmc.keep_every_k,
             flux_detection_threshold=cfg.sampler.flux_detection_threshold,
         )
-        mh_kernel = kernel.replace(num_iters=1)
+        mh_kernel = kernel.replace(
+            num_iters=1,
+            locs_stdev=jnp.float32(cfg.mcmc.locs_stdev),
+            fluxes_stdev=jnp.float32(cfg.mcmc.fluxes_stdev),
+        )
         run = jax.jit(
             lambda key, imgs: run_mh(key, imgs, prior, model, mh_kernel, mc_cfg)
         )

@@ -86,24 +86,37 @@ def main():
         keep_every_k=args.thin,
         flux_detection_threshold=cfg.sampler.flux_detection_threshold,
     )
+    from smcdet_tpu.inference.mcmc import run_rjmh
+    from smcdet_tpu.inference.transdimensional import BirthDeathMH
+
+    rj_kernel = BirthDeathMH(num_iters=1, move=kernel)
+
     print(f"MCMC: {n} images x {args.reps} chains x {args.num_samples} samples ...")
     run = jax.jit(lambda k, im: run_mh(k, im, prior, model, kernel, mc_cfg))
+    run_rj = jax.jit(
+        lambda k, im: run_rjmh(k, im, prior, model, rj_kernel, mc_cfg)
+    )
     # ``reps`` independent chains per image, pooled: replicate the image
     # batch with distinct keys, then fold the chain axis into the sample
     # axis. Pooling averages over which split-mode each chain falls into.
-    reps_counts, reps_fluxes, reps_acc = [], [], []
-    for r in range(args.reps):
-        res = jax.block_until_ready(run(jax.random.key(11 + r), images))
-        reps_counts.append(np.asarray(res.pruned_counts))
-        reps_fluxes.append(np.asarray(res.pruned_fluxes))
-        reps_acc.append(np.asarray(res.acc_rate))
+    def pooled(runner, key0):
+        reps_counts, reps_fluxes, reps_acc = [], [], []
+        for r in range(args.reps):
+            res = jax.block_until_ready(runner(jax.random.key(key0 + r), images))
+            reps_counts.append(np.asarray(res.pruned_counts))
+            reps_fluxes.append(np.asarray(res.pruned_fluxes))
+            reps_acc.append(np.asarray(res.acc_rate))
 
-    class _Res:
-        pruned_counts = np.concatenate(reps_counts, axis=1)
-        pruned_fluxes = np.concatenate(reps_fluxes, axis=1)
-        acc_rate = np.stack(reps_acc).mean(0)
+        class _Res:
+            pruned_counts = np.concatenate(reps_counts, axis=1)
+            pruned_fluxes = np.concatenate(reps_fluxes, axis=1)
+            acc_rate = np.stack(reps_acc).mean(0)
 
-    res = _Res()
+        return _Res()
+
+    res = pooled(run, 11)
+    print("RJ-MH anchor ...")
+    rj = pooled(run_rj, 1011)
 
     K = prior.max_objects + 2
     mc_counts = np.asarray(res.pruned_counts)  # [n, kept]
@@ -117,6 +130,13 @@ def main():
     tvd = 0.5 * np.abs(mc_pmf - smc_pmf).sum(-1)
     mean_mc = (mc_pmf * np.arange(K)).sum(-1)
     mean_smc = (smc_pmf * np.arange(K)).sum(-1)
+
+    rj_counts = np.asarray(rj.pruned_counts)
+    rj_pmf = count_pmf(
+        rj_counts, np.full(rj_counts.shape, 1.0 / rj_counts.shape[1]), K
+    )
+    rj_tvd = 0.5 * np.abs(rj_pmf - smc_pmf).sum(-1)
+    mean_rj = (rj_pmf * np.arange(K)).sum(-1)
 
     mc_flux = np.asarray(res.pruned_fluxes).sum(-1)  # [n, kept]
     smc_flux = smc["pruned_fluxes"][:n].sum(-1)
@@ -173,6 +193,21 @@ def main():
             round(float(np.asarray(res.acc_rate).min()), 3),
             round(float(np.asarray(res.acc_rate).max()), 3),
         ],
+        # The framework's stronger anchor: a reversible-jump MH chain
+        # (birth/death moves) that escapes the saturated sampler's split
+        # modes. Close SMC agreement here isolates the plain-MH residual
+        # as the plain chain's own mixing failure.
+        "rjmh": {
+            "count_pmf_tvd_mean": round(float(rj_tvd.mean()), 4),
+            "count_pmf_tvd_median": round(float(np.median(rj_tvd)), 4),
+            "count_pmf_tvd_p90": round(float(np.quantile(rj_tvd, 0.9)), 4),
+            "mean_count_max_abs_diff": round(
+                float(np.abs(mean_rj - mean_smc).max()), 4
+            ),
+            "mean_count_mean_abs_diff": round(
+                float(np.abs(mean_rj - mean_smc).mean()), 4
+            ),
+        },
     }
     with open(out_dir / "mcmc_comparison.json", "w") as f:
         json.dump(report, f, indent=2)
@@ -183,7 +218,7 @@ def main():
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(1, 2, figsize=(9.2, 4.0))
+    fig, axes = plt.subplots(1, 3, figsize=(13.2, 4.0))
     ax = axes[0]
     lim = max(mean_mc.max(), mean_smc.max()) * 1.05 + 0.1
     ax.plot([0, lim], [0, lim], color=NEUTRAL, linewidth=1, linestyle="--")
@@ -195,19 +230,33 @@ def main():
                label=f"stuck chain, acc<0.15 (n={int((~mixed).sum())})")
     ax.legend(frameon=False, fontsize=8, loc="upper left")
     ax.set_xlabel("CS-SMC posterior mean count")
-    ax.set_ylabel("MCMC posterior mean count")
-    ax.set_title("Posterior mean pruned count", fontsize=11)
+    ax.set_ylabel("plain MH posterior mean count")
+    ax.set_title("Plain saturated MH (reference baseline)", fontsize=11)
     ax.spines[["top", "right"]].set_visible(False)
 
     ax = axes[1]
-    ax.hist(tvd, bins=np.linspace(0, max(0.3, tvd.max()), 25),
-            color=SMC_COLOR, edgecolor="white", linewidth=0.8)
-    ax.set_xlabel("TV distance between count pmfs")
+    lim = max(mean_rj.max(), mean_smc.max()) * 1.05 + 0.1
+    ax.plot([0, lim], [0, lim], color=NEUTRAL, linewidth=1, linestyle="--")
+    ax.scatter(mean_smc, mean_rj, s=14, alpha=0.5, color=SMC_COLOR,
+               linewidths=0)
+    ax.set_xlabel("CS-SMC posterior mean count")
+    ax.set_ylabel("RJ-MH posterior mean count")
+    ax.set_title("Reversible-jump MH (birth/death)", fontsize=11)
+    ax.spines[["top", "right"]].set_visible(False)
+
+    ax = axes[2]
+    bins = np.linspace(0, max(0.3, tvd.max(), rj_tvd.max()), 25)
+    ax.hist(tvd, bins=bins, color="#eb6834", edgecolor="white",
+            linewidth=0.8, alpha=0.7, label="plain MH")
+    ax.hist(rj_tvd, bins=bins, color=SMC_COLOR, edgecolor="white",
+            linewidth=0.8, alpha=0.7, label="RJ-MH")
+    ax.legend(frameon=False, fontsize=8)
+    ax.set_xlabel("TV distance to CS-SMC count pmf")
     ax.set_ylabel("images")
-    ax.set_title("CS-SMC vs MCMC count pmf", fontsize=11)
+    ax.set_title("Count-pmf agreement", fontsize=11)
     ax.spines[["top", "right"]].set_visible(False)
     fig.suptitle(
-        f"CS-SMC vs {args.num_samples//1000}k-sample MCMC on {n} images",
+        f"CS-SMC vs {args.num_samples//1000}k-sample MCMC anchors on {n} images",
         fontsize=12,
     )
     fig.tight_layout()

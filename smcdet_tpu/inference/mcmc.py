@@ -36,7 +36,14 @@ from smcdet_tpu.inference.kernels import (
 from smcdet_tpu.inference.smc import tile_image
 from smcdet_tpu.ops.catalogs import prune_catalog, slot_mask
 
-__all__ = ["MCMCConfig", "MCMCResult", "run_mh", "MHSampler", "MHsampler"]
+__all__ = [
+    "MCMCConfig",
+    "MCMCResult",
+    "run_mh",
+    "run_rjmh",
+    "MHSampler",
+    "MHsampler",
+]
 
 
 @struct.dataclass
@@ -125,6 +132,89 @@ def run_mh(key, images, prior, model, kernel: SingleComponentMH, cfg) -> MCMCRes
     acc_rate = acc_n[:, 0] / (nb + num_kept * cfg.keep_every_k)
 
     chain_counts = jnp.full((T, num_kept), M, dtype=jnp.int32)
+    pruned_counts, pruned_locs, pruned_fluxes = prune_catalog(
+        chain_locs,
+        chain_fluxes,
+        height=model.height,
+        width=model.width,
+        flux_threshold=cfg.flux_detection_threshold,
+        mask=slot_mask(chain_counts, M),
+    )
+    return MCMCResult(
+        counts=chain_counts,
+        locs=chain_locs,
+        fluxes=chain_fluxes,
+        pruned_counts=pruned_counts,
+        pruned_locs=pruned_locs,
+        pruned_fluxes=pruned_fluxes,
+        acc_rate=acc_rate,
+    )
+
+
+def run_rjmh(key, images, prior, model, kernel, cfg) -> MCMCResult:
+    """Reversible-jump MH baseline: one transdimensional chain per tile.
+
+    Like ``run_mh`` but the chain moves across object counts with the
+    birth/death proposals of ``BirthDeathMH``
+    (inference/transdimensional.py), so it escapes the stable "split"
+    modes that trap the reference's saturated single-site sampler (a
+    death of one split partner is a single accepted move). The chain
+    starts genuinely empty (``counts = 0``); stars enter through birth
+    moves. No reference counterpart — this is the framework's stronger
+    MCMC anchor for validating CS-SMC posteriors.
+    """
+    from smcdet_tpu.inference.transdimensional import TDKernelState
+
+    T = images.shape[0]
+    M = prior.max_objects
+    counts = jnp.zeros((T, 1), dtype=jnp.int32)
+    locs = jnp.zeros((T, 1, M, 2), dtype=jnp.float32)
+    fluxes = jnp.zeros((T, 1, M), dtype=jnp.float32)
+
+    ctx = TargetContext(
+        prior=prior,
+        model=model,
+        image=images[:, None],  # [T, 1, H, W]
+        temperature=jnp.ones((T, 1)),
+    )
+    state = TDKernelState(
+        counts=counts, inner=init_kernel_state(ctx, counts, locs, fluxes)
+    )
+
+    def sweep_step(carry, k):
+        st, acc_n = carry
+        st, applied = kernel._sweep(k, ctx, st)
+        return (st, acc_n + applied.astype(jnp.float32)), None
+
+    nb = cfg.num_samples_burnin
+    key, k_burn = jax.random.split(key)
+    (state, acc_n), _ = jax.lax.scan(
+        sweep_step,
+        (state, jnp.zeros((T, 1))),
+        jax.random.split(k_burn, nb),
+        length=nb,
+    )
+
+    num_kept = max(
+        0,
+        -(-(cfg.num_samples_total - cfg.num_samples_burnin) // cfg.keep_every_k),
+    )
+
+    def kept_step(carry, k):
+        (st, acc_n), _ = jax.lax.scan(
+            sweep_step, carry, jax.random.split(k, cfg.keep_every_k)
+        )
+        return (st, acc_n), (st.counts, st.inner.locs, st.inner.fluxes)
+
+    key, k_samp = jax.random.split(key)
+    (state, acc_n), (chain_counts, chain_locs, chain_fluxes) = jax.lax.scan(
+        kept_step, (state, acc_n), jax.random.split(k_samp, num_kept)
+    )
+    chain_counts = chain_counts[:, :, 0].transpose(1, 0)  # [T, K]
+    chain_locs = chain_locs[:, :, 0].transpose(1, 0, 2, 3)
+    chain_fluxes = chain_fluxes[:, :, 0].transpose(1, 0, 2)
+    acc_rate = acc_n[:, 0] / (nb + num_kept * cfg.keep_every_k)
+
     pruned_counts, pruned_locs, pruned_fluxes = prune_catalog(
         chain_locs,
         chain_fluxes,

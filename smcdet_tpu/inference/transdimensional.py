@@ -201,14 +201,20 @@ class BirthDeathMH:
             do_death & can_death & (u <= jnp.exp(jnp.minimum(la_death, 0.0)))
         )
 
-        # apply birth
+        # apply birth — on top of the ORIGINAL arrays, not the move sweep's
+        # output: a birth/death particle did not take the move branch, and
+        # its rate/logprior deltas (rate_b/rate_d, lp_b/lp_d) are relative
+        # to ``inner``. Basing the state on ``moved.*`` here would bake the
+        # move into the state while the caches never see it, so the cached
+        # rate/loglik/logprior drift linearly off the actual particle state
+        # over a long chain.
         locs1 = jnp.where(
             (onehot_b & acc_birth[..., None])[..., None],
             new_loc[..., None, :],
-            moved.locs,
+            locs,
         )
         fluxes1 = jnp.where(
-            onehot_b & acc_birth[..., None], new_flux[..., None], moved.fluxes
+            onehot_b & acc_birth[..., None], new_flux[..., None], fluxes
         )
         # apply death: compact by moving the last active star into the gap
         last_slot = jnp.maximum(counts - 1, 0)

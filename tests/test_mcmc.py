@@ -99,3 +99,42 @@ class TestMHSampler:
         truth = np.asarray([[2.0, 2.5], [5.5, 5.0]])
         d = np.linalg.norm(stars[:, None] - truth[None], axis=-1).min(-1)
         assert (d < 1.0).mean() > 0.9
+
+
+class TestRJMH:
+    def test_finds_exact_count(self):
+        # The reversible-jump chain (birth/death moves) escapes the split
+        # modes that pin the saturated sampler at 3 detectable stars: a
+        # death of one split partner is a single accepted move. Modal
+        # count must be exactly 2 here.
+        import jax.numpy as jnp
+
+        from smcdet_tpu.inference.mcmc import MCMCConfig, run_rjmh
+        from smcdet_tpu.inference.transdimensional import BirthDeathMH
+        from smcdet_tpu.inference.kernels import SingleComponentMH
+
+        image, prior, model, _ = two_star_image()
+        move = SingleComponentMH(
+            num_iters=1,
+            locs_stdev=jnp.float32(0.1),
+            fluxes_stdev=jnp.float32(40.0),
+            fluxes_min=jnp.float32(100.0),
+            fluxes_max=jnp.float32(5000.0),
+        )
+        kernel = BirthDeathMH(num_iters=1, move=move)
+        cfg = MCMCConfig(
+            num_samples_total=6000,
+            num_samples_burnin=3000,
+            keep_every_k=2,
+            flux_detection_threshold=500.0,
+        )
+        res = jax.jit(
+            lambda k, im: run_rjmh(k, im, prior, model, kernel, cfg)
+        )(jax.random.key(0), image[None])
+        pc = np.asarray(res.pruned_counts[0])
+        vals, cnts = np.unique(pc, return_counts=True)
+        assert vals[cnts.argmax()] == 2, dict(zip(vals.tolist(), cnts.tolist()))
+        assert cnts.max() / pc.size > 0.9
+        total = np.asarray(res.pruned_fluxes[0]).sum(-1)
+        med = np.median(total[pc == 2])
+        assert abs(med - 4100.0) / 4100.0 < 0.1, med

@@ -230,7 +230,10 @@ def main():
         classified = (true_binned, est_binned)
 
         fig_names = save_all(
-            out_dir / "figures",
+            # per-method figure dir so a baseline analysis (--method mcmc)
+            # doesn't overwrite the smc figures
+            out_dir
+            / ("figures" if args.method == "smc" else f"figures_{args.method}"),
             mag_bins=args.mag_bins,
             smc_ci=smc_ci,
             sep_ci=sep_ci,

@@ -92,11 +92,13 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
     tile_prior = expand_prior(prior, td, td, prior.max_objects)
     tile_model = model.replace(height=td, width=td)
 
+    warmed = {"done": False}
+
     def run(key, imgs):
         outs = []
         per_image_s = []
-        for i in range(imgs.shape[0]):
-            start = time.perf_counter()
+
+        def process(i):
             k_smc, k_agg = jax.random.split(jax.random.fold_in(key, i))
             sampler = SMCSampler(
                 image=imgs[i],
@@ -121,6 +123,16 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
             )
             agg.run(k_agg)
             jax.block_until_ready(agg.state.counts)
+            return agg
+
+        for i in range(imgs.shape[0]):
+            if not warmed["done"]:
+                # jit-compile the whole pipeline untimed so the first
+                # image's recorded runtime is steady-state, not compile
+                process(i)
+                warmed["done"] = True
+            start = time.perf_counter()
+            agg = process(i)
             per_image_s.append(time.perf_counter() - start)
             outs.append(
                 {

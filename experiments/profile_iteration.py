@@ -189,6 +189,19 @@ def main():
     per_iter = (t_hi - t_lo) / (hi_iters - lo_iters)
     fixed = t_lo - lo_iters * per_iter
 
+    # -- adaptive wall: the bench's exact path, repeated ----------------
+    run = jax.jit(run_csmc)
+    out = jax.block_until_ready(
+        run(jax.random.key(0), images, prior, model, kernel, cfg)
+    )
+    adaptive = []
+    for r in range(3):
+        start = time.perf_counter()
+        out = jax.block_until_ready(
+            run(jax.random.key(1 + r), images, prior, model, kernel, cfg)
+        )
+        adaptive.append((time.perf_counter() - start, int(out.num_iters)))
+
     print(f"\n{'stage':<28}{'ms/iter':>10}")
     for k, v in results.items():
         print(f"{k:<28}{v * 1e3:>10.2f}")
@@ -197,6 +210,13 @@ def main():
     print(f"{'total (slope fit)':<28}{per_iter * 1e3:>10.2f}")
     print(f"{'unattributed':<28}{(per_iter - accounted) * 1e3:>10.2f}")
     print(f"{'init+final (intercept)':<28}{fixed * 1e3:>10.2f}  ms total")
+    for dt, n in adaptive:
+        extra = (dt - fixed) / n - per_iter
+        print(
+            f"adaptive wall: {dt:.3f}s over {n} iters "
+            f"({dt / n * 1e3:.1f} ms/iter; adaptive-only overhead "
+            f"{extra * 1e3:+.1f} ms/iter vs fixed ladder)"
+        )
 
 
 if __name__ == "__main__":

@@ -44,7 +44,16 @@ from smcdet_tpu.ops.catalogs import prune_catalog, slot_mask
 from smcdet_tpu.ops.resampling import gather_particles, resample_indices
 from smcdet_tpu.ops.tempering import solve_tempering_step
 
-__all__ = ["SMCConfig", "SMCState", "SMCResult", "run_csmc", "SMCSampler", "SMCsampler"]
+__all__ = [
+    "SMCConfig",
+    "SMCState",
+    "SMCResult",
+    "run_csmc",
+    "run_csmc_chunked",
+    "max_tiles_per_chunk",
+    "SMCSampler",
+    "SMCsampler",
+]
 
 
 @struct.dataclass
@@ -403,6 +412,68 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
     )
 
 
+def max_tiles_per_chunk(
+    prior, num_catalogs: int, tile_hw: int, budget_bytes: int = 12 * 2**30
+) -> int:
+    """Largest tile batch fitting the per-device memory budget.
+
+    The dominant live arrays are the per-particle rate caches (~4 float
+    copies of ``[T, C, N, H*W]`` between the SMC carry, the mutation
+    kernel, and resampling temporaries); 256 tiles x 7 strata x 2048
+    catalogs faults a 16 GiB chip, as do 50 tiles x 13 strata x 4096
+    catalogs at 16x16 px.
+    """
+    C = prior.num_counts
+    per_tile = C * num_catalogs * (4 * tile_hw + 8 * prior.max_objects + 32) * 4
+    return max(1, budget_bytes // max(per_tile, 1))
+
+
+def run_csmc_chunked(
+    key,
+    images,
+    prior,
+    model,
+    kernel,
+    cfg: SMCConfig,
+    run=None,
+    budget_bytes: int = 12 * 2**30,
+) -> SMCResult:
+    """``run_csmc`` over a tile batch too large for device memory:
+    sequential equal-size chunks (compile reused), concatenated along the
+    tile axis. Per-tile CS-SMC is independent, so this is exact."""
+    T = images.shape[0]
+    chunk = max_tiles_per_chunk(
+        prior, cfg.num_catalogs, images.shape[1] * images.shape[2], budget_bytes
+    )
+    if run is None:
+        run = jax.jit(run_csmc)
+    if T <= chunk:
+        return run(key, images, prior, model, kernel, cfg)
+    n_chunks = -(-T // chunk)
+    size = -(-T // n_chunks)
+    parts = []
+    for i in range(0, T, size):
+        part = run(
+            jax.random.fold_in(key, i),
+            images[i : i + size],
+            prior,
+            model,
+            kernel,
+            cfg,
+        )
+        parts.append(jax.block_until_ready(part))
+    stacked = {}
+    for f in parts[0]._fields:
+        vals = [getattr(p, f) for p in parts]
+        if f == "history":
+            stacked[f] = None
+        elif f == "num_iters":
+            stacked[f] = jnp.stack(vals).max()
+        else:
+            stacked[f] = jnp.concatenate(vals, axis=0)
+    return SMCResult(**stacked)
+
+
 class SMCSampler:
     """User-facing wrapper mirroring the reference ``SMCsampler`` API
     (sampler.py:9-298): tile the image, run CS-SMC, expose posterior
@@ -444,21 +515,14 @@ class SMCSampler:
         self.result: SMCResult | None = None
 
     def _max_tiles_per_chunk(self) -> int:
-        """Largest tile batch fitting the per-device memory budget.
-
-        The dominant live arrays are the per-particle rate caches
-        (~4 float copies of ``[T, C, N, H*W]`` between the SMC carry, the
-        mutation kernel, and resampling temporaries); 256 tiles x 7 strata
-        x 2048 catalogs faults a 16 GiB chip, so tiles are chunked
-        sequentially beyond the budget. Override with
-        ``SMCSampler.memory_budget_bytes``.
-        """
-        C = self.prior.num_counts
-        N = self.config.num_catalogs
-        hw = self.tile_dim * self.tile_dim
-        per_tile = C * N * (4 * hw + 8 * self.prior.max_objects + 32) * 4
-        budget = getattr(self, "memory_budget_bytes", 12 * 2**30)
-        return max(1, budget // max(per_tile, 1))
+        """See ``max_tiles_per_chunk``; override the budget with
+        ``SMCSampler.memory_budget_bytes``."""
+        return max_tiles_per_chunk(
+            self.prior,
+            self.config.num_catalogs,
+            self.tile_dim * self.tile_dim,
+            getattr(self, "memory_budget_bytes", 12 * 2**30),
+        )
 
     def run(self, key=None, devices=None) -> SMCResult:
         """Run the sampler. ``devices``: optional list for a tile-sharded

@@ -196,10 +196,14 @@ def run_experiment(
                 cfg, prior, model, kernel, smc_cfg
             )
         else:
-            run = jax.jit(
-                lambda key, imgs: run_csmc(
-                    key, imgs, prior, model, kernel, smc_cfg
-                )
+            from smcdet_tpu.inference.smc import run_csmc_chunked
+
+            # memory-aware: a batch whose rate caches exceed the device
+            # budget is processed in sequential tile chunks (exact — tiles
+            # are independent)
+            jitted = jax.jit(run_csmc)
+            run = lambda key, imgs: run_csmc_chunked(  # noqa: E731
+                key, imgs, prior, model, kernel, smc_cfg, run=jitted
             )
     elif method == "mcmc":
         from smcdet_tpu.inference.mcmc import MCMCConfig, run_mh

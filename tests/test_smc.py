@@ -323,3 +323,43 @@ def test_saturated_single_stratum_mode():
     assert pmf[2] + pmf[3] > 0.8
     assert pmf[0] + pmf[1] < 0.05
     assert pmf[8:].sum() < 0.01
+
+
+class TestRunCSMCChunked:
+    def test_concat_is_bitwise_per_chunk(self):
+        # run_csmc_chunked with a tiny budget must equal manual per-chunk
+        # calls with the same fold_in keys, concatenated on the tile axis.
+        from smcdet_tpu.inference.smc import run_csmc_chunked
+
+        prior, model, kernel = make_setup()
+        image, *_ = two_star_image()
+        images = jnp.stack([image, image * 0.0 + image.mean(), image, image])
+        cfg = SMCConfig(
+            num_catalogs=128,
+            ess_threshold_prop=0.5,
+            resample_method="systematic",
+            max_smc_iters=30,
+            flux_detection_threshold=200.0,
+        )
+        key = jax.random.key(9)
+        res = run_csmc_chunked(
+            key, images, prior, model, kernel, cfg, budget_bytes=1
+        )
+        assert res.counts.shape[0] == 4
+        for i in range(4):
+            part = jax.jit(run_csmc)(
+                jax.random.fold_in(key, i),
+                images[i : i + 1],
+                prior,
+                model,
+                kernel,
+                cfg,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res.pruned_counts[i]),
+                np.asarray(part.pruned_counts[0]),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res.weights[i]), np.asarray(part.weights[0])
+            )
+        np.testing.assert_allclose(np.asarray(res.temperature), 1.0)

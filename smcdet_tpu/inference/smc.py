@@ -417,14 +417,15 @@ def max_tiles_per_chunk(
 ) -> int:
     """Largest tile batch fitting the per-device memory budget.
 
-    The dominant live arrays are the per-particle rate caches (~4 float
+    The dominant live arrays are the per-particle rate caches (~5 float
     copies of ``[T, C, N, H*W]`` between the SMC carry, the mutation
-    kernel, and resampling temporaries); 256 tiles x 7 strata x 2048
-    catalogs faults a 16 GiB chip, as do 50 tiles x 13 strata x 4096
-    catalogs at 16x16 px.
+    kernel, resampling temporaries, and kernel staging); 256 tiles x 7
+    strata x 2048 catalogs faults a 16 GiB chip, and 50 tiles x 13
+    strata x 4096 catalogs at 16x16 px faulted under a 4-copy model that
+    predicted it would just fit — hence 5.
     """
     C = prior.num_counts
-    per_tile = C * num_catalogs * (4 * tile_hw + 8 * prior.max_objects + 32) * 4
+    per_tile = C * num_catalogs * (5 * tile_hw + 8 * prior.max_objects + 32) * 4
     return max(1, budget_bytes // max(per_tile, 1))
 
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -10,6 +11,19 @@ from pathlib import Path
 _REPO_ROOT = str(Path(__file__).resolve().parents[1])
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+
+# Persistent XLA compilation cache: the per-image SMC+aggregation pipeline
+# compiles in tens of minutes over a TPU tunnel, and every driver process
+# pays it again without this. Override the location (or disable with an
+# empty value) via JAX_COMPILATION_CACHE_DIR.
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", str(Path(_REPO_ROOT) / ".jax_cache")
+)
+if _cache_dir:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 from smcdet_tpu.config import load_config
 from smcdet_tpu.runner import run_experiment, simulate_tiles

@@ -140,9 +140,21 @@ def _side_mask_fn(axis: int, boundary: int, height: int, width: int):
 # ----------------------------------------------------------------------
 # Level step: merge + bridge. Jitted once per level (shapes change).
 # ----------------------------------------------------------------------
-def _merge(key, state: AggregateState, axis: int, dims, M_new: int, cfg):
+def _merge(key, state: AggregateState, axis: int, dims, M_new: int, cfg,
+           model_new=None):
     """Resample, dedup the shared-pad overlap, join tile pairs, and merge
-    the per-count normalising constants (aggregate.py:347-422)."""
+    the per-count normalising constants (aggregate.py:347-422).
+
+    Besides the merged state, returns the per-slot origin tags (1 = the
+    even pair member sampled this star) and the ghost child rate — the
+    summed origin-window renders of the dedup-dropped stars. Together
+    they make the bridge's tau=0 target the *exact* product of the child
+    posteriors the particles were drawn from: a dropped bright star near
+    the seam otherwise leaves photons no child term can explain, a
+    particle-dependent mismatch of up to ~1e6 nats that jams the
+    adaptive tempering at deltas ~1e-5 (the reference's location-based
+    unjoin, aggregate.py:271-273, has the identical gap; its
+    divide-and-conquer notebook only visualizes the scenario)."""
     Th, Tw, H, W = dims
     N = state.counts.shape[-1]
     M = state.fluxes.shape[-1]
@@ -165,6 +177,37 @@ def _merge(key, state: AggregateState, axis: int, dims, M_new: int, cfg):
     is_even = (grid_idx % 2 == 0)[..., None, None]  # [Th, Tw, 1, 1]
     keep = active & jnp.where(is_even, coord < dim_axis, coord > 0.0)
     counts_d, locs_d, fluxes_d = compact_catalog(locs_r, fluxes_r, keep)
+
+    # 2b. ghost child rate: render each dropped star into its origin
+    # child's window, in parent coordinates (even member's local frame is
+    # the parent's side-1 frame; the odd member shifts by dim_axis).
+    dropped = active & ~keep
+    shift_vec = jnp.zeros(2).at[axis].set(float(dim_axis))
+    locs_parent = locs_r + jnp.where(is_even[..., None], 0.0, 1.0) * shift_vec
+    eff = jnp.asarray(model_new.adu_per_nmgy)
+    HW_new = model_new.height * model_new.width
+    p = jnp.arange(HW_new)
+    pcoord = p // model_new.width if axis == 0 else p % model_new.width
+    even_pix = pcoord < dim_axis  # [HW_new]
+
+    def ghost_step(carry, m):
+        loc_m = jax.lax.dynamic_index_in_dim(
+            locs_parent, m, axis=-2, keepdims=False
+        )
+        f_m = jax.lax.dynamic_index_in_dim(fluxes_r, m, axis=-1,
+                                           keepdims=False)
+        d_m = jax.lax.dynamic_index_in_dim(dropped, m, axis=-1,
+                                           keepdims=False)
+        img = model_new.star_image_flat(loc_m)  # [Th, Tw, N, HW_new]
+        window = jnp.where(is_even, even_pix, ~even_pix)  # [Th, Tw, 1, HW]
+        contrib = jnp.where(
+            d_m[..., None], eff * f_m[..., None] * img * window, 0.0
+        )
+        return carry + contrib, None
+
+    ghost0 = jnp.zeros(counts_r.shape + (HW_new,))
+    ghost_full, _ = jax.lax.scan(ghost_step, ghost0, jnp.arange(M), length=M)
+    # pair the members' ghosts: merged ghost = even member's + odd member's
 
     # 3. join pairs along `axis` (aggregate.py:217-263)
     if axis == 0:
@@ -194,6 +237,11 @@ def _merge(key, state: AggregateState, axis: int, dims, M_new: int, cfg):
     joint_locs = joint_locs[..., :M_new, :]
     joint_fluxes = joint_fluxes[..., :M_new]
     joint_counts = jnp.minimum(joint_counts, M_new)
+
+    # per-slot origin tags: the stable compaction keeps the even member's
+    # c1 stars first, then the odd member's c2
+    slot_side = (jnp.arange(M_new) < c1[..., None]).astype(jnp.float32)
+    ghost_rate = ghost_full[even] + ghost_full[odd]
 
     # 4. per-count normalising-constant merge (aggregate.py:362-422):
     # p_hat(x_child | s_joint = j) = sum_k p_hat(x_child | s_child = k)
@@ -225,7 +273,7 @@ def _merge(key, state: AggregateState, axis: int, dims, M_new: int, cfg):
     # strata with no catalogs can never be sampled
     log_z_new = jnp.where(n_joint > 0, log_z_new, _NEG)
 
-    return AggregateState(
+    merged = AggregateState(
         data=data_new,
         counts=joint_counts,
         locs=joint_locs,
@@ -233,12 +281,15 @@ def _merge(key, state: AggregateState, axis: int, dims, M_new: int, cfg):
         weights=jnp.full(joint_counts.shape, 1.0 / N),
         log_z=log_z_new,
     )
+    return merged, slot_side, ghost_rate
 
 
 class _BridgeCarry(NamedTuple):
     key: jax.Array
     locs: jax.Array
     fluxes: jax.Array
+    slot_side: jax.Array  # [Th, Tw, N, M] origin tags (ride resampling)
+    ghost_rate: jax.Array  # [Th, Tw, N, HW] frozen dropped-star renders
     loglik_diff: jax.Array  # [Th, Tw, N] parent_ll - child_ll
     weights_ic: jax.Array  # [Th, Tw, N] within-stratum weights
     log_z: jax.Array  # [Th, Tw, C]
@@ -309,14 +360,16 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
     H_new, W_new = (2 * H, W) if axis == 0 else (H, 2 * W)
     dim_axis = H if axis == 0 else W
 
-    key, k_merge = jax.random.split(key)
-    state = _merge(k_merge, state, axis, dims, M_new, cfg)
-
     prior_new = expand_prior(prior, H_new, W_new, M_new)
     model_new = model.replace(height=H_new, width=W_new)
     side_mask = _side_mask_fn(axis, dim_axis, H_new, W_new)
 
-    def make_ctx(temperature):
+    key, k_merge = jax.random.split(key)
+    state, slot_side0, ghost0 = _merge(
+        k_merge, state, axis, dims, M_new, cfg, model_new=model_new
+    )
+
+    def make_ctx(temperature, slot_side, ghost_rate):
         return TargetContext(
             prior=prior_new,
             model=model_new,
@@ -324,6 +377,8 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
             temperature=temperature[..., None],  # [Th,Tw,1]
             child_model=model_new,
             child_side_mask=side_mask,
+            child_slot_side=slot_side,
+            child_ghost_rate=ghost_rate,
         )
 
     smask = _stratum_mask(state.counts, C_new)  # [Th,Tw,C,N]
@@ -331,12 +386,16 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
     counts_idx = state.counts  # stratum of particle n IS its count
 
     temperature0 = jnp.zeros(state.counts.shape[:2])
-    ld0 = _loglik_diff(make_ctx(temperature0), state.locs, state.fluxes)
+    ld0 = _loglik_diff(
+        make_ctx(temperature0, slot_side0, ghost0), state.locs, state.fluxes
+    )
 
     carry = _BridgeCarry(
         key=key,
         locs=state.locs,
         fluxes=state.fluxes,
+        slot_side=slot_side0,
+        ghost_rate=ghost0,
         loglik_diff=ld0,
         weights_ic=jnp.full(state.counts.shape, 1.0 / N),
         log_z=state.log_z,
@@ -367,17 +426,25 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
         idx = jnp.take_along_axis(
             idx_full, counts_idx[..., None, :], axis=-2
         )[..., 0, :]  # [Th,Tw,N]: idx[n] = idx_full[c_n, n]
-        locs_r, fluxes_r, ld_r = gather_particles(
-            idx, carry.locs, carry.fluxes, carry.loglik_diff, particle_axis=2
+        locs_r, fluxes_r, ld_r, side_r, ghost_r = gather_particles(
+            idx,
+            carry.locs,
+            carry.fluxes,
+            carry.loglik_diff,
+            carry.slot_side,
+            carry.ghost_rate,
+            particle_axis=2,
         )
         keep = done[..., None]
         locs = jnp.where(keep[..., None, None], carry.locs, locs_r)
         fluxes = jnp.where(keep[..., None], carry.fluxes, fluxes_r)
         ld = jnp.where(keep, carry.loglik_diff, ld_r)
+        slot_side = jnp.where(keep[..., None], carry.slot_side, side_r)
+        ghost = jnp.where(keep[..., None], carry.ghost_rate, ghost_r)
         weights_ic = jnp.where(keep, carry.weights_ic, 1.0 / N)
 
         # mutation with the bridge target
-        ctx = make_ctx(carry.temperature)
+        ctx = make_ctx(carry.temperature, slot_side, ghost)
         kstate, acc = kernel.run(k_mut, ctx, state.counts, locs, fluxes)
         if cfg.relocate_sweeps:
             from smcdet_tpu.inference.kernels import relocate_sweeps
@@ -394,6 +461,8 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
             key=key,
             locs=locs,
             fluxes=fluxes,
+            slot_side=slot_side,
+            ghost_rate=ghost,
             loglik_diff=ld,
             weights_ic=weights_ic,
             acc_rate=jnp.where(done, carry.acc_rate, acc),

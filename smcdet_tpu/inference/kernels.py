@@ -72,20 +72,47 @@ class TargetContext:
     child_side_mask: Optional[Callable] = struct.field(
         pytree_node=False, default=None
     )
+    # Origin-side child assignment (the exact product-of-children base
+    # measure — see inference/aggregate.py): per-slot side tags
+    # ``[..., N, M]`` (1 = even/first child) that stay fixed under
+    # mutation, so a star always renders into the child window it was
+    # sampled by, and a frozen "ghost" rate ``[..., N, HW]`` carrying the
+    # overlap-dedup-dropped stars in the child term only. When
+    # ``child_slot_side`` is None the legacy location-based mask applies.
+    child_slot_side: Optional[jax.Array] = None
+    child_ghost_rate: Optional[jax.Array] = None
 
     # ------------------------------------------------------------------
-    def star_images(self, loc):
+    def _side_window(self, side):
+        """Child pixel window for stars with side tags ``side`` [...]."""
+        axis = self.child_side_mask.axis
+        boundary = self.child_side_mask.boundary
+        p = jnp.arange(self.model.height * self.model.width)
+        coord = p // self.model.width if axis == 0 else p % self.model.width
+        even_pix = coord < boundary  # [HW]
+        return jnp.where(side[..., None] > 0.5, even_pix, ~even_pix)
+
+    def star_images(self, loc, side=None):
         """Render the flat-pixel contribution of one star at ``loc``.
 
         Returns ``(parent_img, child_img_or_None)`` as ``[..., H*W]``; the
         child contribution is the parent-side render masked to the star's
-        own child tile, which makes the sum of child log-likelihoods
-        expressible over the joined image (see inference/aggregate.py).
+        child tile — the tile that sampled it (``side``, origin mode) or
+        the tile its location falls in (legacy) — which makes the sum of
+        child log-likelihoods expressible over the joined image (see
+        inference/aggregate.py).
         """
         img = self.model.star_image_flat(loc)
         if self.child_model is None:
             return img, None
-        child = img * self.child_side_mask(loc)
+        if self.child_slot_side is not None:
+            if side is None:
+                raise ValueError(
+                    "origin-side child context requires the slot side"
+                )
+            child = img * self._side_window(side)
+        else:
+            child = img * self.child_side_mask(loc)
         return img, child
 
     def init_rates(self, locs, fluxes):
@@ -109,13 +136,24 @@ class TargetContext:
                                                  keepdims=False)
             f_m = jax.lax.dynamic_index_in_dim(eff, m, axis=-1,
                                                keepdims=False)
-            img, child_img = self.star_images(loc_m)  # [..., HW]
+            side_m = (
+                jax.lax.dynamic_index_in_dim(
+                    self.child_slot_side, m, axis=-1, keepdims=False
+                )
+                if self.child_slot_side is not None
+                else None
+            )
+            img, child_img = self.star_images(loc_m, side_m)  # [..., HW]
             rate = rate + f_m[..., None] * img
             if child_rate is not None:
                 child_rate = child_rate + f_m[..., None] * child_img
             return (rate, child_rate), None
 
-        init = (zero, None if self.child_model is None else zero)
+        # the ghost rate (dedup-dropped stars, frozen) seeds the child term
+        child_zero = zero if self.child_ghost_rate is None else (
+            zero + self.child_ghost_rate
+        )
+        init = (zero, None if self.child_model is None else child_zero)
         (rate, child_rate), _ = jax.lax.scan(
             step, init, jnp.arange(M), length=M
         )
@@ -256,8 +294,13 @@ class SingleComponentMH:
 
         # Incremental rate update: remove old star, add proposed star.
         eff = jnp.asarray(ctx.model.adu_per_nmgy)
-        old_parent, old_child = ctx.star_images(loc_j)
-        new_parent, new_child = ctx.star_images(loc_prop)
+        side_j = (
+            _take_slot(ctx.child_slot_side, onehot)
+            if ctx.child_slot_side is not None
+            else None
+        )
+        old_parent, old_child = ctx.star_images(loc_j, side_j)
+        new_parent, new_child = ctx.star_images(loc_prop, side_j)
         a = active[..., None]
         dparent = eff * (
             f_prop[..., None] * new_parent
@@ -434,8 +477,13 @@ def relocate_sweeps(key, ctx: TargetContext, counts, state: KernelState,
             f_prop = f_j
 
         eff = jnp.asarray(ctx.model.adu_per_nmgy)
-        old_parent, old_child = ctx.star_images(loc_j)
-        new_parent, new_child = ctx.star_images(loc_prop)
+        side_j = (
+            _take_slot(ctx.child_slot_side, onehot)
+            if ctx.child_slot_side is not None
+            else None
+        )
+        old_parent, old_child = ctx.star_images(loc_j, side_j)
+        new_parent, new_child = ctx.star_images(loc_prop, side_j)
         a = active[..., None]
         dparent = eff * (
             f_prop[..., None] * new_parent - f_j[..., None] * old_parent
@@ -510,7 +558,7 @@ class SingleComponentMALA:
     fluxes_min: jax.Array = 0.0
     fluxes_max: jax.Array = 1e6
 
-    def _slot_target(self, ctx, base, active, loc, f):
+    def _slot_target(self, ctx, base, active, loc, f, side=None):
         """Tempered log-target as a function of slot-j params only.
 
         ``base`` carries the slot-removed rate caches; differentiable in
@@ -518,7 +566,7 @@ class SingleComponentMALA:
         """
         rate_wo, child_rate_wo, logprior_wo = base
         eff = jnp.asarray(ctx.model.adu_per_nmgy)
-        parent, child = ctx.star_images(loc)
+        parent, child = ctx.star_images(loc, side)
         a = active[..., None]
         rate = rate_wo + jnp.where(a, eff * f[..., None] * parent, 0.0)
         child_rate = (
@@ -556,7 +604,12 @@ class SingleComponentMALA:
         # Remove slot j from the caches once; everything below is a function
         # of the slot parameters only.
         eff = jnp.asarray(ctx.model.adu_per_nmgy)
-        old_parent, old_child = ctx.star_images(loc_j)
+        side_j = (
+            _take_slot(ctx.child_slot_side, onehot)
+            if ctx.child_slot_side is not None
+            else None
+        )
+        old_parent, old_child = ctx.star_images(loc_j, side_j)
         a = active[..., None]
         rate_wo = state.rate - jnp.where(
             a, eff * f_j[..., None] * old_parent, 0.0
@@ -582,7 +635,9 @@ class SingleComponentMALA:
         loc_low, loc_high = ctx.prior.loc_low, ctx.prior.loc_high
 
         # Forward drift + proposal.
-        (gl, gf), (target_old, _) = grad_fn(ctx, base, active, loc_j, f_j)
+        (gl, gf), (target_old, _) = grad_fn(
+            ctx, base, active, loc_j, f_j, side_j
+        )
         loc_qmean = loc_j + 0.5 * self.locs_step**2 * gl
         f_qmean = f_j + 0.5 * self.fluxes_step**2 * gf
         loc_prop = truncated_normal_sample(
@@ -594,7 +649,7 @@ class SingleComponentMALA:
 
         # Reverse drift at the proposal.
         (glp, gfp), (target_new, caches_new) = grad_fn(
-            ctx, base, active, loc_prop, f_prop
+            ctx, base, active, loc_prop, f_prop, side_j
         )
         loc_qmean_rev = loc_prop + 0.5 * self.locs_step**2 * glp
         f_qmean_rev = f_prop + 0.5 * self.fluxes_step**2 * gfp

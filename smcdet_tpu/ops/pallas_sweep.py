@@ -100,6 +100,10 @@ def supports(ctx, kernel) -> bool:
         ctx.child_model is ctx.model
         and hasattr(ctx.child_side_mask, "axis")
         and hasattr(ctx.child_side_mask, "boundary")
+        # origin-side tags + ghost rates (the exact product-of-children
+        # bridge base measure) are not in the fused kernel yet — XLA path
+        and ctx.child_slot_side is None
+        and ctx.child_ghost_rate is None
     )
     return (
         child_ok

@@ -322,3 +322,44 @@ class TestAggregateValidation:
                 log_normalizing_constant=jnp.zeros((2, 2, 4)),
                 resample_method="bogus",
             )
+
+
+@pytest.mark.slow
+class TestBrightSeamStar:
+    """A bright source just off the tile seam: overlap dedup drops one
+    child's copy, and without the origin-side tags + frozen ghost renders
+    (the exact product-of-children base measure) the bridge's tau=0 child
+    term cannot explain its photons — a ~1e5-nat particle-dependent
+    mismatch that jams the adaptive tempering at the iteration cap
+    (observed: temperature 0.001 after 150 iterations). With the exact
+    base measure the same merge converges in ~tens of iterations."""
+
+    def test_converges_below_cap(self):
+        prior, model, kernel = make_setup()
+        full_model = model.replace(height=16, width=16)
+        # star 0.3 px below the horizontal seam, plus an interior one
+        locs = jnp.asarray([[8.3, 4.0], [3.0, 12.0]])
+        fluxes = jnp.asarray([2600.0, 1800.0])
+        image = full_model.sample(jax.random.key(11), locs, fluxes)
+        sampler = SMCSampler(
+            image=image,
+            tile_dim=8,
+            Prior=prior,
+            ImageModel=model,
+            MutationKernel=kernel,
+            num_catalogs=192,
+            flux_detection_threshold=600.0,
+            max_smc_iters=50,
+            resample_method="systematic",
+        )
+        sampler.run(jax.random.key(12))
+        agg = Aggregate.from_smc(sampler, max_smc_iters=80)
+        agg.run(jax.random.key(13))
+        for d in agg.diagnostics:
+            np.testing.assert_allclose(np.asarray(d["temperature"]), 1.0)
+            assert int(d["iterations"]) < 80, d
+        # both stars found with the seam star not duplicated: modal count 2
+        pc = np.asarray(agg.pruned_counts[0, 0])
+        w = np.asarray(agg.state.weights[0, 0])
+        pmf = {int(c): float(w[pc == c].sum()) for c in np.unique(pc)}
+        assert max(pmf, key=pmf.get) == 2, pmf

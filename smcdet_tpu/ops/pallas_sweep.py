@@ -23,8 +23,10 @@ Layout notes (TPU):
 Supported targets: the tile-level tempered target
 ``logprior + tau * loglik`` AND the aggregation-bridge target
 ``logprior + tau * parent_ll + (1 - tau) * child_ll`` (the child term is
-the parent render side-masked at the tile boundary, exactly as in
-inference/aggregate.py), with either image model (Gaussian noise or
+the parent render side-masked at the tile boundary — by the star's
+current location, or by its fixed origin tag when the context carries
+``child_slot_side``, exactly as in inference/aggregate.py), with either
+image model (Gaussian noise or
 Poisson-with-Normal-tail) and either PSF (SDSS 6-parameter or Gaussian) —
 matching inference/kernels.py semantics for ``SingleComponentMH``
 (reference smcdet/kernel.py:7-130).
@@ -96,14 +98,14 @@ def supports(ctx, kernel) -> bool:
     """True if the fused kernel covers this target configuration."""
     from smcdet_tpu.models.psf import GaussianPSF, SDSSPSF
 
+    # Both bridge child modes are fused: the legacy location-based side
+    # mask and the origin-tag mode (per-slot side input; the frozen ghost
+    # rate needs no kernel support — it enters through the child_rate
+    # cache at init and incremental updates preserve it).
     child_ok = ctx.child_model is None or (
         ctx.child_model is ctx.model
         and hasattr(ctx.child_side_mask, "axis")
         and hasattr(ctx.child_side_mask, "boundary")
-        # origin-side tags + ghost rates (the exact product-of-children
-        # bridge base measure) are not in the fused kernel yet — XLA path
-        and ctx.child_slot_side is None
-        and ctx.child_ghost_rate is None
     )
     return (
         child_ok
@@ -114,7 +116,7 @@ def supports(ctx, kernel) -> bool:
 
 
 def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
-                 flux_is_normal, child_axis=None):
+                 flux_is_normal, child_axis=None, side_from_tag=False):
     HW = H * W
     has_child = child_axis is not None
 
@@ -137,9 +139,11 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
             pll_ref,
             lp_ref,
         ) = refs[:12]
-        n_in = 14 if has_child else 12
+        n_in = (14 if has_child else 12) + (1 if side_from_tag else 0)
         if has_child:
             child_rate_ref, cll_ref = refs[12:14]
+        if side_from_tag:
+            slot_side_ref = refs[14]  # [M, P] origin tags (1 = even child)
         (
             out_locs_y,
             out_locs_x,
@@ -231,6 +235,12 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
                 star1 = (star_c <= boundary).astype(jnp.float32)
                 return pix1 * star1 + (1.0 - pix1) * (1.0 - star1)  # [HW, P]
 
+            def side_mask_from(side1):
+                # side1 [1, P] in {0., 1.}: the slot's ORIGIN child window
+                # (fixed under mutation — the exact product-of-children
+                # base measure, inference/aggregate.py)
+                return pix1 * side1 + (1.0 - pix1) * (1.0 - side1)
+
         def loglik(rate):
             if noise == "gaussian":
                 var = noise_add + noise_mult * rate
@@ -292,9 +302,16 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
 
             pll_prop = loglik(rate_prop)
             if has_child:
+                if side_from_tag:
+                    side_j = (slot_side_ref[0] * onehot).sum(
+                        0, keepdims=True
+                    )  # [1, P]
+                    w_old = w_new = side_mask_from(side_j)
+                else:
+                    w_old = side_mask(loc_jy, loc_jx)
+                    w_new = side_mask(y_prop, x_prop)
                 child_delta = adu * (
-                    f_prop * new_img * side_mask(y_prop, x_prop)
-                    - f_j * old_img * side_mask(loc_jy, loc_jx)
+                    f_prop * new_img * w_new - f_j * old_img * w_old
                 )
                 child_rate_prop = child_rate + active * child_delta
                 cll_prop = loglik(child_rate_prop)
@@ -385,11 +402,12 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
     jax.jit,
     static_argnames=("num_iters", "block", "noise", "psf_kind",
                      "flux_is_pareto", "flux_is_normal", "dims",
-                     "child_axis"),
+                     "child_axis", "side_from_tag"),
 )
 def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
-         pll, lp, child_rate=None, cll=None, *, num_iters, block, noise,
-         psf_kind, flux_is_pareto, flux_is_normal, dims, child_axis=None):
+         pll, lp, child_rate=None, cll=None, slot_side=None, *, num_iters,
+         block, noise, psf_kind, flux_is_pareto, flux_is_normal, dims,
+         child_axis=None, side_from_tag=False):
     T, CN, M, H, W = dims
     HW = H * W
     P = block
@@ -398,7 +416,7 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
 
     kern = _make_kernel(H, W, M, P, num_iters, noise, psf_kind,
                         flux_is_pareto, flux_is_normal,
-                        child_axis=child_axis)
+                        child_axis=child_axis, side_from_tag=side_from_tag)
 
     # lane-major reshapes: [T, CN, ...] -> [T*nb, rows, P]
     def to_blocks(x, rows):
@@ -417,6 +435,8 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
     if has_child:
         child_rate_b = to_blocks(child_rate.reshape(T, CN, HW), HW)
         cll_b = cll.reshape(T * nb, 1, P)
+    if side_from_tag:
+        slot_side_b = to_blocks(slot_side, M)
 
     grid = (T, nb)
 
@@ -456,7 +476,8 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
             ]
             if has_child
             else []
-        ),
+        )
+        + ([row_spec(M)] if side_from_tag else []),  # slot_side
         out_specs=[
             row_spec(M),
             row_spec(M),
@@ -499,7 +520,8 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
       jax.lax.lgamma(images_b + 1.0) if noise == "poisson"
       else jnp.zeros_like(images_b),
       counts_b, locs_y, locs_x, fluxes_b, rate_b, pll_b, lp_b,
-      *((child_rate_b, cll_b) if has_child else ()))
+      *((child_rate_b, cll_b) if has_child else ()),
+      *((slot_side_b,) if side_from_tag else ()))
 
     o_ly, o_lx, o_f, o_rate, o_pll, o_lp, o_acc = out[:7]
     if has_child:
@@ -625,6 +647,13 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
         child_rate.reshape(T, CN, H * W) if child_axis is not None else None
     )
     cll2 = child_ll.reshape(T, CN) if child_axis is not None else None
+    slot_side = ctx.child_slot_side
+    side_from_tag = child_axis is not None and slot_side is not None
+    side2 = (
+        jnp.asarray(slot_side, jnp.float32).reshape(T, CN, M)
+        if side_from_tag
+        else None
+    )
     if pad:
         counts2 = jnp.pad(counts2, ((0, 0), (0, pad)))
         locs2 = jnp.pad(locs2, ((0, 0), (0, pad), (0, 0), (0, 0)))
@@ -637,6 +666,8 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
             crate2 = jnp.pad(crate2, ((0, 0), (0, pad), (0, 0)),
                              constant_values=1.0)
             cll2 = jnp.pad(cll2, ((0, 0), (0, pad)))
+        if side_from_tag:
+            side2 = jnp.pad(side2, ((0, 0), (0, pad), (0, 0)))
 
     temperature = temp_full.astype(jnp.float32)
     kdata = jax.random.key_data(key).astype(jnp.uint32)
@@ -647,11 +678,12 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
 
     o = _run(
         seed, params, temperature, image_full,
-        counts2, locs2, fluxes2, rate2, pll2, lp2, crate2, cll2,
+        counts2, locs2, fluxes2, rate2, pll2, lp2, crate2, cll2, side2,
         num_iters=kernel.num_iters, block=block, noise=model.noise,
         psf_kind="sdss" if is_sdss else "gaussian",
         flux_is_pareto=flux_is_pareto, flux_is_normal=flux_is_normal,
         dims=(T, CN + pad, M, H, W), child_axis=child_axis,
+        side_from_tag=side_from_tag,
     )
     locs_out, fluxes_out, rate_out, pll_out, lp_out, acc, crate_o, cll_o = o
     # strip padding, restore batch shape

@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Pooled D&C vs single-tile comparison.
+
+The count posterior p(s|x) is softmax(logZ); with finite particles the
+per-run logZ noise (a few nats) makes each run's pmf overconfident, so
+two independent pipelines can disagree by a full count on a single run
+even when both are unbiased. Pooling R independent repetitions of each
+pipeline estimates the *expected* posterior; agreement of the pooled
+pmfs is the unbiasedness check for the aggregation tree.
+
+Usage: python compare_pooled.py [--num-images 30] [--reps 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import numpy as np
+
+from common import experiment_config
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--num-images", type=int, default=30)
+    parser.add_argument("--reps", type=int, default=4)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from smcdet_tpu.config import (
+        build_image_model,
+        build_kernel,
+        build_prior,
+        load_config,
+    )
+    from smcdet_tpu.inference.aggregate import Aggregate, expand_prior
+    from smcdet_tpu.inference.smc import SMCConfig, SMCSampler, run_csmc
+
+    here = Path(__file__).parent
+    cfg = experiment_config(Path(__file__))
+    st_cfg = load_config(here / "config_singletile.yaml")
+    out_dir = Path(cfg.output_dir) / cfg.name
+    tiles = np.load(out_dir / "tiles.npz")
+    n = min(args.num_images, tiles["images"].shape[0])
+    images = jnp.asarray(tiles["images"][:n], dtype=jnp.float32)
+
+    prior = build_prior(cfg.prior)
+    model = build_image_model(cfg.image_model)
+    kernel = build_kernel(cfg.kernel)
+    td = cfg.sampler.tile_dim
+    tile_prior = expand_prior(prior, td, td, prior.max_objects)
+    tile_model = model.replace(height=td, width=td)
+
+    # single-tile pmfs: one batched run over all images per rep
+    st_smc = SMCConfig(
+        num_catalogs=st_cfg.sampler.num_catalogs,
+        ess_threshold_prop=st_cfg.sampler.ess_threshold_prop,
+        resample_method=st_cfg.sampler.resample_method,
+        max_smc_iters=st_cfg.sampler.max_smc_iters,
+        flux_detection_threshold=st_cfg.sampler.flux_detection_threshold,
+    )
+    run_st = jax.jit(
+        lambda k, im: run_csmc(k, im, prior, model, kernel, st_smc)
+    )
+
+    K = 4 * prior.max_objects + 1
+
+    def pmf_from(pc, w):
+        pmf = np.zeros((pc.shape[0], K))
+        for c in range(K):
+            pmf[:, c] = ((pc == c) * w).sum(-1)
+        return pmf / np.maximum(pmf.sum(-1, keepdims=True), 1e-12)
+
+    st_pmfs, dc_pmfs = [], []
+    for r in range(args.reps):
+        res = jax.block_until_ready(run_st(jax.random.key(100 + r), images))
+        st_pmfs.append(
+            pmf_from(np.asarray(res.pruned_counts), np.asarray(res.weights))
+        )
+        print(f"single-tile rep {r} done", flush=True)
+
+        dc_pmf = np.zeros((n, K))
+        for i in range(n):
+            s = SMCSampler(
+                image=images[i],
+                tile_dim=td,
+                Prior=tile_prior,
+                ImageModel=tile_model,
+                MutationKernel=kernel,
+                num_catalogs=cfg.sampler.num_catalogs,
+                ess_threshold_prop=cfg.sampler.ess_threshold_prop,
+                resample_method=cfg.sampler.resample_method,
+                flux_detection_threshold=cfg.sampler.flux_detection_threshold,
+                max_smc_iters=cfg.sampler.max_smc_iters,
+            )
+            s.run(jax.random.fold_in(jax.random.key(200 + r), i))
+            agg = Aggregate.from_smc(
+                s,
+                resample_method=cfg.aggregation.resample_method,
+                ess_threshold_prop=cfg.aggregation.ess_threshold_prop,
+                max_smc_iters=cfg.aggregation.max_smc_iters,
+            )
+            agg.run(jax.random.fold_in(jax.random.key(300 + r), i))
+            pc = np.asarray(agg.pruned_counts[0, 0])
+            w = np.asarray(agg.state.weights[0, 0])
+            dc_pmf[i] = pmf_from(pc[None], w[None])[0]
+        dc_pmfs.append(dc_pmf)
+        print(f"D&C rep {r} done", flush=True)
+
+    st_single = st_pmfs[0]
+    dc_single = dc_pmfs[0]
+    st_pool = np.mean(st_pmfs, axis=0)
+    dc_pool = np.mean(dc_pmfs, axis=0)
+    # noise floor: TVD between two pooled halves of the SAME pipeline
+    st_half = (
+        0.5
+        * np.abs(
+            np.mean(st_pmfs[: args.reps // 2], axis=0)
+            - np.mean(st_pmfs[args.reps // 2:], axis=0)
+        ).sum(-1)
+        if args.reps >= 2
+        else None
+    )
+
+    def stats(tvd):
+        return {
+            "mean": round(float(tvd.mean()), 4),
+            "median": round(float(np.median(tvd)), 4),
+            "p90": round(float(np.quantile(tvd, 0.9)), 4),
+        }
+
+    tvd_single = 0.5 * np.abs(dc_single - st_single).sum(-1)
+    tvd_pool = 0.5 * np.abs(dc_pool - st_pool).sum(-1)
+    report = {
+        "images": int(n),
+        "reps": args.reps,
+        "tvd_single_run": stats(tvd_single),
+        "tvd_pooled": stats(tvd_pool),
+        "mean_count_abs_diff_pooled": round(
+            float(
+                np.abs(
+                    (dc_pool * np.arange(K)).sum(-1)
+                    - (st_pool * np.arange(K)).sum(-1)
+                ).mean()
+            ),
+            4,
+        ),
+    }
+    if st_half is not None:
+        report["tvd_singletile_self_halves"] = stats(st_half)
+    with open(out_dir / "pooled_comparison.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -449,8 +449,15 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
         if cfg.relocate_sweeps:
             from smcdet_tpu.inference.kernels import relocate_sweeps
 
-            kstate = relocate_sweeps(
+            kstate, acc_rel = relocate_sweeps(
                 k_rel, ctx, state.counts, kstate, cfg.relocate_sweeps
+            )
+            # blend into the diagnostic so the cap warning's numbers
+            # reflect ALL moves (prior-draw relocations often carry the
+            # mixing when random-walk moves stall)
+            n_mh = kernel.num_iters
+            acc = (acc * n_mh + acc_rel * cfg.relocate_sweeps) / (
+                n_mh + cfg.relocate_sweeps
             )
         locs = jnp.where(keep[..., None, None], locs, kstate.locs)
         fluxes = jnp.where(keep[..., None], fluxes, kstate.fluxes)

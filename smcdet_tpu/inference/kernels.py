@@ -534,12 +534,15 @@ def relocate_sweeps(key, ctx: TargetContext, counts, state: KernelState,
             ),
             logprior=jnp.where(apply, logprior_prop, st.logprior),
         )
-        return new_state, None
+        return new_state, apply
 
     keys = jax.random.split(key, num_sweeps)
-    state, _ = jax.lax.scan(lambda st, k: sweep(st, k), state, keys)
+    state, applied = jax.lax.scan(lambda st, k: sweep(st, k), state, keys)
     assert state.locs.shape == locs_shape
-    return state
+    # fraction of applied relocations, reduced like the kernels' acc_rate
+    # (mean over sweeps then particles) so callers can blend diagnostics
+    acc = applied.astype(jnp.float32).mean(0).mean(-1)
+    return state, acc
 
 
 @struct.dataclass

@@ -85,7 +85,14 @@ def run_mh(key, images, prior, model, kernel: SingleComponentMH, cfg) -> MCMCRes
     key, k_init = jax.random.split(key)
     locs, fluxes = prior.sample_marks(k_init, counts, (T, 1))
     if fluxes is not None:
-        fluxes = jnp.full_like(fluxes, kernel.fluxes_min)
+        # clamp the floor into the flux prior's support: starting below it
+        # (e.g. fluxes_min=0 with a Pareto mark) makes the initial
+        # logprior +/-inf and every acceptance ratio NaN — a silently
+        # frozen chain
+        floor = jnp.asarray(kernel.fluxes_min)
+        if prior.flux is not None:
+            floor = jnp.maximum(floor, prior.flux.support_lower)
+        fluxes = jnp.full_like(fluxes, floor)
 
     ctx = TargetContext(
         prior=prior,

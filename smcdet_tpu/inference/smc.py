@@ -91,11 +91,6 @@ class SMCState(NamedTuple):
     ess: jax.Array  # [T, C]
     acc_rate: jax.Array  # [T]
     iteration: jax.Array  # scalar i32
-    # Mutation-kernel caches, re-rendered from the resampled particles at
-    # the top of each iteration. rate: [T, C, N, H*W] flat;
-    # logprior: [T, C, N].
-    rate: Optional[jax.Array] = None
-    logprior: Optional[jax.Array] = None
     history: Optional[dict] = None  # {temperature, ess, acc_rate} buffers
 
 
@@ -237,8 +232,6 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
         ess=jnp.full((T, C), float(N)),
         acc_rate=jnp.zeros(T),
         iteration=jnp.asarray(0, dtype=jnp.int32),
-        rate=jnp.zeros((T, C, N, model.height * model.width)),
-        logprior=jnp.zeros((T, C, N)),
         history=(
             {
                 "temperature": jnp.zeros((cfg.max_smc_iters, T)),
@@ -254,7 +247,6 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
     # catalog per iteration — the single biggest per-iteration expense)
     ctx0 = _context(prior, model, images, state.temperature)
     kstate0 = init_kernel_state(ctx0, counts_b, locs, fluxes)
-    state = state._replace(rate=kstate0.rate, logprior=kstate0.logprior)
     state = _temper_and_reweight(
         prior, model, images, cfg, state, loglik=kstate0.parent_ll
     )
@@ -312,8 +304,6 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
         locs = jnp.where(keep[..., None, None], state.locs, kstate.locs)
         fluxes = jnp.where(keep[..., None], state.fluxes, kstate.fluxes)
         loglik = jnp.where(keep, state.loglik, kstate.parent_ll)
-        logprior = jnp.where(keep, state.logprior, kstate.logprior)
-        rate = jnp.where(keep[..., None], state.rate, kstate.rate)
         acc_tile = acc_rate.mean(-1)  # [T]
 
         state = state._replace(
@@ -321,8 +311,6 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
             locs=locs,
             fluxes=fluxes,
             weights=weights,
-            rate=rate,
-            logprior=logprior,
             acc_rate=jnp.where(done, state.acc_rate, acc_tile),
             iteration=state.iteration + 1,
         )
@@ -452,8 +440,16 @@ def run_csmc_chunked(
         return run(key, images, prior, model, kernel, cfg)
     n_chunks = -(-T // chunk)
     size = -(-T // n_chunks)
+    # pad the tile axis so every chunk has the same shape: a smaller last
+    # chunk would trigger a second XLA compile (minutes over a TPU
+    # tunnel), far costlier than computing a few duplicate tiles
+    T_pad = n_chunks * size
+    if T_pad > T:
+        images = jnp.concatenate(
+            [images, jnp.broadcast_to(images[-1:], (T_pad - T,) + images.shape[1:])]
+        )
     parts = []
-    for i in range(0, T, size):
+    for i in range(0, T_pad, size):
         part = run(
             jax.random.fold_in(key, i),
             images[i : i + size],
@@ -467,11 +463,18 @@ def run_csmc_chunked(
     for f in parts[0]._fields:
         vals = [getattr(p, f) for p in parts]
         if f == "history":
-            stacked[f] = None
+            stacked[f] = (
+                None
+                if vals[0] is None
+                else {
+                    k: jnp.concatenate([v[k] for v in vals], axis=1)[:, :T]
+                    for k in vals[0]
+                }
+            )
         elif f == "num_iters":
             stacked[f] = jnp.stack(vals).max()
         else:
-            stacked[f] = jnp.concatenate(vals, axis=0)
+            stacked[f] = jnp.concatenate(vals, axis=0)[:T]
     return SMCResult(**stacked)
 
 
@@ -538,43 +541,16 @@ class SMCSampler:
 
             run = shard_tiles_jit(run_csmc, devices)
 
-        T = self.tiled_image.shape[0]
-        chunk = self._max_tiles_per_chunk()
-        if T <= chunk:
-            self.result = run(
-                key,
-                self.tiled_image,
-                self.prior,
-                self.image_model,
-                self.kernel,
-                self.config,
-            )
-            return self.result
-
-        # sequential chunks (equal sizes where possible to reuse compiles)
-        n_chunks = -(-T // chunk)
-        size = -(-T // n_chunks)
-        parts = []
-        for i in range(0, T, size):
-            part = run(
-                jax.random.fold_in(key, i),
-                self.tiled_image[i : i + size],
-                self.prior,
-                self.image_model,
-                self.kernel,
-                self.config,
-            )
-            parts.append(jax.block_until_ready(part))
-        stacked = {}
-        for f in parts[0]._fields:
-            vals = [getattr(p, f) for p in parts]
-            if f == "history":
-                stacked[f] = None
-            elif f == "num_iters":
-                stacked[f] = jnp.stack(vals).max()
-            else:
-                stacked[f] = jnp.concatenate(vals, axis=0)
-        self.result = SMCResult(**stacked)
+        self.result = run_csmc_chunked(
+            key,
+            self.tiled_image,
+            self.prior,
+            self.image_model,
+            self.kernel,
+            self.config,
+            run=run,
+            budget_bytes=getattr(self, "memory_budget_bytes", 12 * 2**30),
+        )
         return self.result
 
     # -- posterior summaries (sampler.py:258-298) -----------------------

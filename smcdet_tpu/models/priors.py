@@ -125,6 +125,10 @@ class NormalFlux:
     def reference_point(self):
         return jnp.asarray(self.mean)
 
+    @property
+    def support_lower(self):
+        return jnp.asarray(-jnp.inf)
+
 
 @struct.dataclass
 class ParetoFlux:
@@ -150,6 +154,10 @@ class ParetoFlux:
     def reference_point(self):
         return jnp.asarray(self.scale)
 
+    @property
+    def support_lower(self):
+        return jnp.asarray(self.scale)
+
 
 # TruncatedPareto (distributions.py) already provides sample/log_prob; give it
 # the reference-point hook used to evaluate masked slots safely.
@@ -158,6 +166,7 @@ def _truncated_pareto_reference_point(self):
 
 
 TruncatedPareto.reference_point = property(_truncated_pareto_reference_point)
+TruncatedPareto.support_lower = property(_truncated_pareto_reference_point)
 
 
 # ----------------------------------------------------------------------

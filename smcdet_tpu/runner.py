@@ -214,11 +214,20 @@ def run_experiment(
             keep_every_k=cfg.mcmc.keep_every_k,
             flux_detection_threshold=cfg.sampler.flux_detection_threshold,
         )
-        mh_kernel = kernel.replace(
-            num_iters=1,
-            locs_stdev=jnp.float32(cfg.mcmc.locs_stdev),
-            fluxes_stdev=jnp.float32(cfg.mcmc.fluxes_stdev),
-        )
+        from smcdet_tpu.inference.kernels import SingleComponentMH
+
+        if isinstance(kernel, SingleComponentMH):
+            mh_kernel = kernel.replace(
+                num_iters=1,
+                locs_stdev=jnp.float32(cfg.mcmc.locs_stdev),
+                fluxes_stdev=jnp.float32(cfg.mcmc.fluxes_stdev),
+            )
+        else:  # MALA step fields have different names
+            mh_kernel = kernel.replace(
+                num_iters=1,
+                locs_step=jnp.float32(cfg.mcmc.locs_stdev),
+                fluxes_step=jnp.float32(cfg.mcmc.fluxes_stdev),
+            )
         run = jax.jit(
             lambda key, imgs: run_mh(key, imgs, prior, model, mh_kernel, mc_cfg)
         )

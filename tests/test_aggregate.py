@@ -268,10 +268,11 @@ class TestRelocateSweeps:
             temperature=jnp.float32(0.7),
         )
         state = init_kernel_state(ctx, counts, locs, fluxes)
-        out = relocate_sweeps(jax.random.key(13), ctx, counts, state, 10)
+        out, acc = relocate_sweeps(jax.random.key(13), ctx, counts, state, 10)
 
-        # moved something
+        # moved something, and the acceptance diagnostic says so
         assert bool((out.locs != state.locs).any())
+        assert float(np.asarray(acc).mean()) > 0.0
         # incremental caches match a from-scratch recomputation
         fresh = init_kernel_state(ctx, counts, out.locs, out.fluxes)
         np.testing.assert_allclose(

@@ -138,3 +138,56 @@ class TestRJMH:
         total = np.asarray(res.pruned_fluxes[0]).sum(-1)
         med = np.median(total[pc == 2])
         assert abs(med - 4100.0) / 4100.0 < 0.1, med
+
+
+class TestEmptyStartSupport:
+    def test_pareto_prior_with_zero_fluxes_min_not_frozen(self):
+        # Regression: the empty start pinned slot fluxes at
+        # kernel.fluxes_min; with the default fluxes_min=0 and a Pareto
+        # flux prior the initial logprior is +inf, every acceptance ratio
+        # is NaN, and the chain silently freezes at the all-zero state.
+        # The floor now clamps into the flux prior's support.
+        import jax.numpy as jnp
+
+        from smcdet_tpu.inference.mcmc import MCMCConfig, run_mh
+        from smcdet_tpu.inference.kernels import SingleComponentMH
+        from smcdet_tpu.models.imaging import M71ImageModel
+        from smcdet_tpu.models.priors import M71Prior
+
+        prior = M71Prior(
+            min_objects=0, max_objects=3, image_height=8, image_width=8,
+            pad=1.0, counts_rate=0.03, flux_alpha=0.214,
+            flux_lower=0.252, flux_upper=1804.0,
+        )
+        model = M71ImageModel(
+            image_height=8, image_width=8, background=865.0,
+            adu_per_nmgy=856.0,
+            psf_params=(1.51, 4.85, 1.32, 3.0, 0.09, 0.002),
+            psf_radius=8, noise_additive=0.001, noise_multiplicative=1.94,
+        )
+        image = model.sample(
+            jax.random.key(0),
+            jnp.asarray([[4.0, 4.0], [0.0, 0.0], [0.0, 0.0]]),
+            jnp.asarray([300.0, 0.0, 0.0]),
+        )
+        kernel = SingleComponentMH(
+            num_iters=1,
+            locs_stdev=jnp.float32(0.1),
+            fluxes_stdev=jnp.float32(2.5),
+            # deliberately below the Pareto support floor (the default)
+            fluxes_min=jnp.float32(0.0),
+            fluxes_max=jnp.float32(1804.0),
+        )
+        cfg = MCMCConfig(
+            num_samples_total=2000,
+            num_samples_burnin=1000,
+            keep_every_k=2,
+            flux_detection_threshold=0.7,
+        )
+        res = run_mh(jax.random.key(1), image[None], prior, model, kernel, cfg)
+        assert float(res.acc_rate[0]) > 0.01, float(res.acc_rate[0])
+        assert np.isfinite(np.asarray(res.fluxes)).all()
+        # the bright star is found
+        pc = np.asarray(res.pruned_counts[0])
+        vals, cnts = np.unique(pc, return_counts=True)
+        assert vals[cnts.argmax()] >= 1, dict(zip(vals.tolist(), cnts.tolist()))

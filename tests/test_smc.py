@@ -363,3 +363,29 @@ class TestRunCSMCChunked:
                 np.asarray(res.weights[i]), np.asarray(part.weights[0])
             )
         np.testing.assert_allclose(np.asarray(res.temperature), 1.0)
+
+    def test_padding_and_history_survive_chunking(self):
+        # odd tile count pads the last chunk to the common shape (one XLA
+        # compile) and slices back; recorded history concatenates across
+        # chunks instead of being dropped
+        from smcdet_tpu.inference.smc import run_csmc_chunked
+
+        prior, model, kernel = make_setup()
+        image, *_ = two_star_image()
+        images = jnp.stack([image, image, image])
+        cfg = SMCConfig(
+            num_catalogs=64,
+            ess_threshold_prop=0.5,
+            resample_method="systematic",
+            max_smc_iters=20,
+            flux_detection_threshold=200.0,
+            record_history=True,
+        )
+        res = run_csmc_chunked(
+            jax.random.key(2), images, prior, model, kernel, cfg,
+            budget_bytes=1,
+        )
+        assert res.counts.shape[0] == 3
+        assert res.history is not None
+        assert res.history["temperature"].shape[1] == 3
+        assert res.history["ess"].shape[1] == 3

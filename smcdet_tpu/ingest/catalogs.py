@@ -20,7 +20,7 @@ from enum import IntEnum
 
 import numpy as np
 
-from smcdet_tpu.ingest.wcs import TanWCS, plocs_from_ra_dec
+from smcdet_tpu.ingest.wcs import plocs_from_ra_dec
 from smcdet_tpu.utils.units import convert_nmgy_to_mag
 
 __all__ = ["SourceType", "FullCatalog", "TileCatalog"]

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from smcdet_tpu.inference.kernels import TargetContext
-from smcdet_tpu.models.priors import PoissonCounts
+from smcdet_tpu.models.priors import PoissonCounts, UniformCounts
 from smcdet_tpu.ops.catalogs import compact_catalog, prune_catalog, slot_mask
 from smcdet_tpu.ops.resampling import gather_particles, resample_indices
 from smcdet_tpu.ops.tempering import solve_tempering_step
@@ -64,6 +64,11 @@ class AggregateConfig:
     flux_detection_threshold: float = 0.0
     max_smc_iters: int = struct.field(pytree_node=False, default=100)
     # Cap on the object-slot axis as it doubles per level (None = no cap).
+    # WARNING: a cap below the children's joint counts truncates real
+    # stars out of the merged catalog — the parent target then cannot
+    # explain their photons at ANY temperature (truncated stars are not
+    # ghosted), so the bridge exits at the iteration cap biased. Only cap
+    # when the posterior count support is confidently below it.
     max_objects_cap: int | None = struct.field(pytree_node=False, default=None)
     # Prior-draw relocation sweeps appended to each bridge mutation
     # (kernels.relocate_sweeps): lets a source stuck on a tile
@@ -94,6 +99,11 @@ def expand_prior(prior, new_h, new_w, new_max_objects):
         )
         new_area = (new_h + 2 * prior.pad) * (new_w + 2 * prior.pad)
         counts = PoissonCounts(rate=counts.rate * (new_area / old_area))
+    elif isinstance(counts, UniformCounts):
+        # grow the support with the slot axis: joint counts up to 2M are
+        # legal after a merge; keeping high == the old max would give them
+        # -inf count-prior mass and NaN-freeze those particles' mutations
+        counts = UniformCounts(low=counts.low, high=new_max_objects)
     return prior.replace(
         image_height=new_h,
         image_width=new_w,
@@ -417,11 +427,17 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
         # Within-stratum resampling (aggregate.py:485-521): draw one full
         # index table per stratum over that stratum's normalised weights,
         # then particle n reads row c_n at its own position — stratum
-        # sizes are preserved exactly, with no ragged splits.
+        # sizes are preserved exactly, with no ragged splits. ALWAYS
+        # multinomial here: each stratum reads only its members' rows of
+        # the table, which is exact for iid entries but breaks the
+        # systematic grid construction (a stratum's members sit at
+        # arbitrary positions, so their grid points cover only slices of
+        # [0,1) and particles whose CDF interval falls outside those
+        # slices could never be selected).
         w_strat = jnp.where(smask, carry.weights_ic[..., None, :], 0.0)
         total = jnp.maximum(w_strat.sum(-1, keepdims=True), 1e-37)
         idx_full = resample_indices(
-            k_res, w_strat / total, N, cfg.resample_method
+            k_res, w_strat / total, N, "multinomial"
         )  # [Th,Tw,C,N]
         idx = jnp.take_along_axis(
             idx_full, counts_idx[..., None, :], axis=-2

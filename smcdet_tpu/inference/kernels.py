@@ -225,6 +225,22 @@ def _flux_prior_delta(prior, active, f_old, f_new):
     )
 
 
+def _effective_flux_floor(kernel_fluxes_min, prior):
+    """Proposal truncation floor clamped into the flux prior's support.
+
+    A floor below the support (e.g. the default 0.0 with a Pareto-family
+    flux mark) makes the sampled target improper on (floor, support_lower)
+    and lets a proposal land exactly on the boundary with log-prior
+    +/-inf, which poisons the cached logprior with NaN and silently
+    freezes the particle. Truncating proposals at the support floor keeps
+    the MH correction exact (the same bound enters the proposal density).
+    """
+    lo = jnp.asarray(kernel_fluxes_min)
+    if prior.flux is not None:
+        lo = jnp.maximum(lo, prior.flux.support_lower)
+    return lo
+
+
 def _take_slot(values, onehot):
     """Read object slot ``j`` (encoded as ``onehot`` ``[..., N, M]``) from
     ``values`` ``[..., N, M, *ev]`` as a masked sum.
@@ -285,11 +301,12 @@ class SingleComponentMH:
 
         loc_low = ctx.prior.loc_low
         loc_high = ctx.prior.loc_high
+        f_lo = _effective_flux_floor(self.fluxes_min, ctx.prior)
         loc_prop = truncated_normal_sample(
             k_loc, loc_j, self.locs_stdev, loc_low, loc_high
         )
         f_prop = truncated_normal_sample(
-            k_flux, f_j, self.fluxes_stdev, self.fluxes_min, self.fluxes_max
+            k_flux, f_j, self.fluxes_stdev, f_lo, self.fluxes_max
         )
 
         # Incremental rate update: remove old star, add proposed star.
@@ -342,10 +359,10 @@ class SingleComponentMH:
                 loc_prop, self.locs_stdev, loc_low, loc_high
             ).sum(-1)
             + truncated_normal_log_mass(
-                f_j, self.fluxes_stdev, self.fluxes_min, self.fluxes_max
+                f_j, self.fluxes_stdev, f_lo, self.fluxes_max
             )
             - truncated_normal_log_mass(
-                f_prop, self.fluxes_stdev, self.fluxes_min, self.fluxes_max
+                f_prop, self.fluxes_stdev, f_lo, self.fluxes_max
             )
         )
 
@@ -424,14 +441,16 @@ class SingleComponentMH:
                 )
 
         def body(carry, k):
-            st, _ = carry
+            st, acc_n = carry
             st, accept = self.sweep(k, ctx, counts, st)
-            return (st, accept), None
+            return (st, acc_n + accept.astype(jnp.float32)), None
 
+        # mean applied fraction over ALL sweeps (matching the Pallas
+        # path's accounting), not just the final sweep's
         keys = jax.random.split(key, self.num_iters)
-        init_accept = jnp.zeros(counts.shape, dtype=bool)
-        (state, accept), _ = jax.lax.scan(body, (state, init_accept), keys)
-        acc_rate = accept.astype(jnp.float32).mean(-1)
+        acc0 = jnp.zeros(counts.shape, dtype=jnp.float32)
+        (state, acc_n), _ = jax.lax.scan(body, (state, acc0), keys)
+        acc_rate = (acc_n / self.num_iters).mean(-1)
         return state, acc_rate
 
 
@@ -636,6 +655,7 @@ class SingleComponentMALA:
         grad_fn = jax.grad(self._slot_target, argnums=(3, 4), has_aux=True)
 
         loc_low, loc_high = ctx.prior.loc_low, ctx.prior.loc_high
+        f_lo = _effective_flux_floor(self.fluxes_min, ctx.prior)
 
         # Forward drift + proposal.
         (gl, gf), (target_old, _) = grad_fn(
@@ -647,7 +667,7 @@ class SingleComponentMALA:
             k_loc, loc_qmean, self.locs_step, loc_low, loc_high
         )
         f_prop = truncated_normal_sample(
-            k_flux, f_qmean, self.fluxes_step, self.fluxes_min, self.fluxes_max
+            k_flux, f_qmean, self.fluxes_step, f_lo, self.fluxes_max
         )
 
         # Reverse drift at the proposal.
@@ -660,12 +680,12 @@ class SingleComponentMALA:
         log_q_fwd = truncated_normal_log_prob(
             loc_prop, loc_qmean, self.locs_step, loc_low, loc_high
         ).sum(-1) + truncated_normal_log_prob(
-            f_prop, f_qmean, self.fluxes_step, self.fluxes_min, self.fluxes_max
+            f_prop, f_qmean, self.fluxes_step, f_lo, self.fluxes_max
         )
         log_q_rev = truncated_normal_log_prob(
             loc_j, loc_qmean_rev, self.locs_step, loc_low, loc_high
         ).sum(-1) + truncated_normal_log_prob(
-            f_j, f_qmean_rev, self.fluxes_step, self.fluxes_min, self.fluxes_max
+            f_j, f_qmean_rev, self.fluxes_step, f_lo, self.fluxes_max
         )
 
         log_alpha = (target_new + log_q_rev) - (target_old + log_q_fwd)
@@ -705,12 +725,14 @@ class SingleComponentMALA:
     def run_from_state(self, key, ctx: TargetContext, counts,
                        state: KernelState):
         def body(carry, k):
-            st, _ = carry
+            st, acc_n = carry
             st, accept = self.sweep(k, ctx, counts, st)
-            return (st, accept), None
+            return (st, acc_n + accept.astype(jnp.float32)), None
 
+        # mean applied fraction over ALL sweeps (matching the Pallas
+        # path's accounting), not just the final sweep's
         keys = jax.random.split(key, self.num_iters)
-        init_accept = jnp.zeros(counts.shape, dtype=bool)
-        (state, accept), _ = jax.lax.scan(body, (state, init_accept), keys)
-        acc_rate = accept.astype(jnp.float32).mean(-1)
+        acc0 = jnp.zeros(counts.shape, dtype=jnp.float32)
+        (state, acc_n), _ = jax.lax.scan(body, (state, acc0), keys)
+        acc_rate = (acc_n / self.num_iters).mean(-1)
         return state, acc_rate

@@ -102,41 +102,46 @@ def run_mh(key, images, prior, model, kernel: SingleComponentMH, cfg) -> MCMCRes
     )
     state = init_kernel_state(ctx, counts, locs, fluxes)
 
-    def sweep_step(carry, k):
-        st, acc_n = carry
-        st, accept = kernel.sweep(k, ctx, counts, st)
-        return (st, acc_n + accept.astype(jnp.float32)), None
-
-    # Burn-in: advance without recording.
+    # Drive the chain in blocks through kernel.run_from_state so the
+    # fused Pallas sweep loop serves the MCMC baseline too (state stays
+    # in VMEM for a whole block instead of round-tripping the rate cache
+    # through HBM every sweep). Recorded states are identical in law:
+    # a block of k sweeps == k single sweeps.
     nb = cfg.num_samples_burnin
     key, k_burn = jax.random.split(key)
-    (state, acc_n), _ = jax.lax.scan(
-        sweep_step,
-        (state, jnp.zeros((T, 1))),
-        jax.random.split(k_burn, nb),
-        length=nb,
-    )
+    burn_kernel = kernel.replace(num_iters=max(nb, 1))
+    if nb:
+        state, acc_burn = burn_kernel.run_from_state(
+            k_burn, ctx, counts, state
+        )
+    else:
+        acc_burn = jnp.zeros(())
 
     # Sampling: record every keep_every_k-th state.
     num_kept = max(
         0,
         -(-(cfg.num_samples_total - cfg.num_samples_burnin) // cfg.keep_every_k),
     )
+    block_kernel = kernel.replace(num_iters=cfg.keep_every_k)
 
     def kept_step(carry, k):
-        (st, acc_n), _ = jax.lax.scan(
-            sweep_step, carry, jax.random.split(k, cfg.keep_every_k)
-        )
-        return (st, acc_n), (st.locs, st.fluxes)
+        st, acc_n = carry
+        st, acc = block_kernel.run_from_state(k, ctx, counts, st)
+        return (st, acc_n + acc), (st.locs, st.fluxes)
 
     key, k_samp = jax.random.split(key)
-    (state, acc_n), (chain_locs, chain_fluxes) = jax.lax.scan(
-        kept_step, (state, acc_n), jax.random.split(k_samp, num_kept)
+    (state, acc_kept), (chain_locs, chain_fluxes) = jax.lax.scan(
+        kept_step,
+        (state, jnp.zeros(counts.shape[:-1])),
+        jax.random.split(k_samp, num_kept),
     )
     # [K, T, 1, M, ...] -> [T, K, M, ...]
     chain_locs = chain_locs[:, :, 0].transpose(1, 0, 2, 3)
     chain_fluxes = chain_fluxes[:, :, 0].transpose(1, 0, 2)
-    acc_rate = acc_n[:, 0] / (nb + num_kept * cfg.keep_every_k)
+    total = nb + num_kept * cfg.keep_every_k
+    acc_rate = (
+        acc_burn * nb + (acc_kept / max(num_kept, 1)) * num_kept * cfg.keep_every_k
+    ) / max(total, 1)
 
     chain_counts = jnp.full((T, num_kept), M, dtype=jnp.int32)
     pruned_counts, pruned_locs, pruned_fluxes = prune_catalog(

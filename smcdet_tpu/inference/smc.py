@@ -193,7 +193,9 @@ def _temper_and_reweight(prior, model, images, cfg, state, loglik=None):
 )
 def tile_image(image, num_tiles_h: int, num_tiles_w: int, tile_dim: int):
     """Non-overlapping tiling: ``[imH, imW] -> [Th*Tw, tile, tile]``
-    (the reference's double ``unfold``, sampler.py:29-31)."""
+    (the reference's double ``unfold``, sampler.py:29-31 — which, like
+    this, silently drops any remainder rows/columns)."""
+    image = image[: num_tiles_h * tile_dim, : num_tiles_w * tile_dim]
     tiles = image.reshape(num_tiles_h, tile_dim, num_tiles_w, tile_dim)
     return tiles.transpose(0, 2, 1, 3).reshape(-1, tile_dim, tile_dim)
 
@@ -426,20 +428,28 @@ def run_csmc_chunked(
     cfg: SMCConfig,
     run=None,
     budget_bytes: int = 12 * 2**30,
+    multiple: int = 1,
 ) -> SMCResult:
     """``run_csmc`` over a tile batch too large for device memory:
     sequential equal-size chunks (compile reused), concatenated along the
-    tile axis. Per-tile CS-SMC is independent, so this is exact."""
+    tile axis. Per-tile CS-SMC is independent, so this is exact.
+
+    ``multiple``: tile-count divisor every chunk must satisfy — the mesh
+    size when ``run`` is a tile-sharded runner (the budget is per device,
+    so the chunk capacity also scales by it); ragged tile counts are
+    padded up and sliced back.
+    """
     T = images.shape[0]
-    chunk = max_tiles_per_chunk(
+    chunk = multiple * max_tiles_per_chunk(
         prior, cfg.num_catalogs, images.shape[1] * images.shape[2], budget_bytes
     )
     if run is None:
         run = jax.jit(run_csmc)
-    if T <= chunk:
+    if T <= chunk and T % multiple == 0:
         return run(key, images, prior, model, kernel, cfg)
-    n_chunks = -(-T // chunk)
+    n_chunks = max(1, -(-T // chunk))
     size = -(-T // n_chunks)
+    size = -(-size // multiple) * multiple
     # pad the tile axis so every chunk has the same shape: a smaller last
     # chunk would trigger a second XLA compile (minutes over a TPU
     # tunnel), far costlier than computing a few duplicate tiles
@@ -550,6 +560,7 @@ class SMCSampler:
             self.config,
             run=run,
             budget_bytes=getattr(self, "memory_budget_bytes", 12 * 2**30),
+            multiple=len(devices) if devices is not None else 1,
         )
         return self.result
 

@@ -583,10 +583,16 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
     psf = model.psf
     is_sdss = isinstance(psf, SDSSPSF)
     params = jnp.zeros(32, dtype=jnp.float32)
+    from smcdet_tpu.inference.kernels import _effective_flux_floor
+
     vals = {
         0: kernel.locs_stdev,
         1: kernel.fluxes_stdev,
-        2: kernel.fluxes_min,
+        # clamped into the flux prior's support: the kernel uses this both
+        # as the proposal truncation bound and as the masked-slot
+        # placeholder flux, and a value outside support (default 0.0 with
+        # a Pareto mark) makes flux_log_prob inf and poisons lp with NaN
+        2: _effective_flux_floor(kernel.fluxes_min, prior),
         3: kernel.fluxes_max,
         4: prior.loc_low[0],
         5: prior.loc_low[1],

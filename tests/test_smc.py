@@ -389,3 +389,26 @@ class TestRunCSMCChunked:
         assert res.history is not None
         assert res.history["temperature"].shape[1] == 3
         assert res.history["ess"].shape[1] == 3
+
+
+class TestShardedRaggedTiles:
+    def test_tile_count_not_divisible_by_mesh(self):
+        # 6 tiles on an 8-device mesh: the chunked runner pads the tile
+        # axis to the mesh multiple and slices back (previously
+        # shard_tiles_jit raised on the indivisible count).
+        if len(jax.devices()) < 2:
+            import pytest
+
+            pytest.skip("needs a multi-device mesh")
+        prior, model, kernel = make_setup()
+        image, *_ = two_star_image()
+        big = jnp.tile(image, (3, 2))  # 3x2 grid -> 6 tiles
+        s = SMCSampler(
+            image=big, tile_dim=8, Prior=prior, ImageModel=model,
+            MutationKernel=kernel, num_catalogs=64,
+            flux_detection_threshold=200.0, max_smc_iters=20,
+            resample_method="systematic",
+        )
+        res = s.run(jax.random.key(0), devices=jax.devices())
+        assert res.counts.shape[0] == 6
+        np.testing.assert_allclose(np.asarray(res.temperature), 1.0)

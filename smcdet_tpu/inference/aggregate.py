@@ -47,7 +47,11 @@ from flax import struct
 from smcdet_tpu.inference.kernels import TargetContext
 from smcdet_tpu.models.priors import PoissonCounts, UniformCounts
 from smcdet_tpu.ops.catalogs import compact_catalog, prune_catalog, slot_mask
-from smcdet_tpu.ops.resampling import gather_particles, resample_indices
+from smcdet_tpu.ops.resampling import (
+    gather_particles,
+    resample_indices,
+    stratified_indices,
+)
 from smcdet_tpu.ops.tempering import solve_tempering_step
 
 __all__ = ["AggregateConfig", "AggregateState", "Aggregate"]
@@ -424,24 +428,14 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
         key, k_res, k_mut, k_rel = jax.random.split(carry.key, 4)
         done = carry.temperature >= 1.0
 
-        # Within-stratum resampling (aggregate.py:485-521): draw one full
-        # index table per stratum over that stratum's normalised weights,
-        # then particle n reads row c_n at its own position — stratum
-        # sizes are preserved exactly, with no ragged splits. ALWAYS
-        # multinomial here: each stratum reads only its members' rows of
-        # the table, which is exact for iid entries but breaks the
-        # systematic grid construction (a stratum's members sit at
-        # arbitrary positions, so their grid points cover only slices of
-        # [0,1) and particles whose CDF interval falls outside those
-        # slices could never be selected).
-        w_strat = jnp.where(smask, carry.weights_ic[..., None, :], 0.0)
-        total = jnp.maximum(w_strat.sum(-1, keepdims=True), 1e-37)
-        idx_full = resample_indices(
-            k_res, w_strat / total, N, "multinomial"
-        )  # [Th,Tw,C,N]
-        idx = jnp.take_along_axis(
-            idx_full, counts_idx[..., None, :], axis=-2
-        )[..., 0, :]  # [Th,Tw,N]: idx[n] = idx_full[c_n, n]
+        # Within-stratum resampling (aggregate.py:485-521): stratum sizes
+        # are preserved exactly, with no ragged splits. The systematic
+        # variant runs the strided-grid construction on each stratum's
+        # compacted CDF (ops/resampling.stratified_indices) — restoring
+        # the tile-level sampler's variance reduction inside the bridge.
+        idx = stratified_indices(
+            k_res, carry.weights_ic, counts_idx, C_new, cfg.resample_method
+        )  # [Th,Tw,N]: ancestor of n within stratum c_n
         locs_r, fluxes_r, ld_r, side_r, ghost_r = gather_particles(
             idx,
             carry.locs,

@@ -419,6 +419,28 @@ def max_tiles_per_chunk(
     return max(1, budget_bytes // max(per_tile, 1))
 
 
+def compiled_live_bytes(compiled) -> int | None:
+    """Peak device-memory commitment of a compiled executable: arguments +
+    outputs + XLA temporaries, from ``compiled.memory_analysis()``.
+
+    Returns ``None`` when the backend reports no temp data (CPU reports
+    ``temp_size_in_bytes == 0`` unconditionally), so callers can
+    distinguish "measured small" from "not measured".
+    """
+    try:
+        ma = compiled.memory_analysis()
+        temp = int(ma.temp_size_in_bytes)
+        if temp == 0:
+            return None
+        return (
+            temp
+            + int(ma.argument_size_in_bytes)
+            + int(ma.output_size_in_bytes)
+        )
+    except Exception:  # backend without memory stats
+        return None
+
+
 def run_csmc_chunked(
     key,
     images,
@@ -438,6 +460,14 @@ def run_csmc_chunked(
     size when ``run`` is a tile-sharded runner (the budget is per device,
     so the chunk capacity also scales by it); ragged tile counts are
     padded up and sliced back.
+
+    The chunk size starts from the analytic ``max_tiles_per_chunk``
+    estimate; when ``run`` is an inspectable jit (has ``.lower``), the
+    chunk program is AOT-compiled and its *measured* live bytes
+    (``compiled_live_bytes``) are checked against the budget, halving the
+    chunk until it fits — the measured feedback loop replacing the purely
+    hand-tuned 5-copy constant. The compiled executable is then used
+    directly, so the check costs no extra compilation.
     """
     T = images.shape[0]
     chunk = multiple * max_tiles_per_chunk(
@@ -450,6 +480,25 @@ def run_csmc_chunked(
     n_chunks = max(1, -(-T // chunk))
     size = -(-T // n_chunks)
     size = -(-size // multiple) * multiple
+
+    # measured-memory feedback: compile once at the chosen size, verify
+    # against the budget, shrink if XLA's actual temp allocation exceeds it
+    exec_run = run
+    if hasattr(run, "lower"):
+        while True:
+            compiled = run.lower(
+                key, images[:size], prior, model, kernel, cfg
+            ).compile()
+            live = compiled_live_bytes(compiled)
+            if live is None or live <= budget_bytes or size <= multiple:
+                break
+            half = max(1, (size // multiple) // 2) * multiple
+            if half == size:
+                break
+            size = half
+        exec_run = compiled
+
+    n_chunks = -(-T // size)
     # pad the tile axis so every chunk has the same shape: a smaller last
     # chunk would trigger a second XLA compile (minutes over a TPU
     # tunnel), far costlier than computing a few duplicate tiles
@@ -460,7 +509,7 @@ def run_csmc_chunked(
         )
     parts = []
     for i in range(0, T_pad, size):
-        part = run(
+        part = exec_run(
             jax.random.fold_in(key, i),
             images[i : i + size],
             prior,

@@ -17,6 +17,7 @@ __all__ = [
     "multinomial_indices",
     "systematic_indices",
     "resample_indices",
+    "stratified_indices",
     "gather_particles",
 ]
 
@@ -91,6 +92,59 @@ def resample_indices(key, weights, num: int, method: str):
     if method == "systematic":
         return systematic_indices(key, weights, num)
     raise ValueError("resample_method must be multinomial or systematic")
+
+
+def stratified_indices(key, weights, strata, num_strata: int, method: str):
+    """Within-stratum resampling preserving the stratum of every slot.
+
+    ``weights``: ``[..., N]`` within-stratum weights (need not be
+    normalised across strata); ``strata``: int ``[..., N]`` stratum id of
+    each particle. Returns int32 ``[..., N]`` ancestor indices such that
+    ``strata[idx[n]] == strata[n]`` — the aggregation bridge's intracount
+    resampling (reference aggregate.py:485-521) with dense strata.
+
+    ``multinomial``: one full iid index table per stratum; particle ``n``
+    reads row ``strata[n]`` at its own position (exact for iid entries).
+
+    ``systematic``: the low-variance strided-grid construction *per
+    stratum*, on the stratum's compacted CDF. A naive per-position grid
+    (``u_n = (n + off) / N`` read through the stratum table) is biased —
+    a stratum's members sit at arbitrary positions, so their grid points
+    cover only slices of ``[0, 1)``. Instead each particle queries its
+    stratum's CDF at ``u = (rank + offset_c) / n_c`` where ``rank`` is
+    its within-stratum position, ``n_c`` the stratum size, and
+    ``offset_c`` one uniform per stratum — exactly systematic resampling
+    run independently inside each compacted stratum. Zero-weight
+    (non-member) positions are flat CDF segments, so queries can never
+    select an out-of-stratum ancestor.
+    """
+    N = weights.shape[-1]
+    batch = weights.shape[:-1]
+    smask = strata[..., None, :] == jnp.arange(num_strata)[:, None]
+    w_strat = jnp.where(smask, weights[..., None, :], 0.0)  # [..., C, N]
+    total = jnp.maximum(w_strat.sum(-1, keepdims=True), 1e-37)
+    p = w_strat / total
+
+    strata_row = strata[..., None, :]  # [..., 1, N] for the C-axis gather
+    if method == "multinomial":
+        idx_full = multinomial_indices(key, p, N)  # [..., C, N]
+        return jnp.take_along_axis(idx_full, strata_row, axis=-2)[..., 0, :]
+    if method != "systematic":
+        raise ValueError("resample_method must be multinomial or systematic")
+
+    cdf = jnp.cumsum(p, axis=-1)  # [..., C, N]
+    cum = jnp.cumsum(smask, axis=-1)  # [..., C, N] member count up to n
+    n_strat = cum[..., -1].astype(jnp.float32)  # [..., C]
+    rank = jnp.take_along_axis(cum, strata_row, axis=-2)[..., 0, :] - 1
+    offset = jax.random.uniform(key, batch + (num_strata,))  # [..., C]
+    off_n = jnp.take_along_axis(offset, strata, axis=-1)
+    n_n = jnp.take_along_axis(n_strat, strata, axis=-1)
+    u = (rank.astype(jnp.float32) + off_n) / jnp.maximum(n_n, 1.0)
+    # every stratum row answers every query; each particle then reads its
+    # own stratum's row
+    counts = _searchsorted_batched(cdf, u[..., None, :])  # [..., C, N]
+    idx = jnp.take_along_axis(counts, strata_row, axis=-2)[..., 0, :]
+    return jnp.clip(idx, 0, N - 1).astype(jnp.int32)
 
 
 def gather_particles(idx, *arrays, particle_axis: int, chunk: int = 512):

@@ -6,6 +6,7 @@ from smcdet_tpu.ops.catalogs import compact_catalog, prune_catalog
 from smcdet_tpu.ops.resampling import (
     gather_particles,
     multinomial_indices,
+    stratified_indices,
     systematic_indices,
 )
 from smcdet_tpu.ops.tempering import ess_at_delta, solve_tempering_step
@@ -40,6 +41,72 @@ class TestResampling:
         np.testing.assert_allclose(
             np.asarray(xg[1, 2, 7]), np.asarray(x[1, 2, int(idx[1, 2, 7])])
         )
+
+
+class TestStratifiedResampling:
+    """The bridge's intracount resampling (aggregate.py:485-521 parity)."""
+
+    @staticmethod
+    def _setup(seed=0, N=64, C=3):
+        rng = np.random.default_rng(seed)
+        strata = jnp.asarray(rng.integers(0, C, N))
+        w = jnp.asarray(rng.gamma(1.0, 1.0, N).astype(np.float32))
+        return strata, w, C
+
+    def test_preserves_stratum_structure(self):
+        strata, w, C = self._setup()
+        for method in ("multinomial", "systematic"):
+            idx = stratified_indices(
+                jax.random.key(1), w, strata, C, method
+            )
+            s = np.asarray(strata)
+            assert (s[np.asarray(idx)] == s).all(), method
+
+    def test_systematic_counts_are_floor_or_ceil_within_stratum(self):
+        # Mirrors TestResampling.test_systematic_counts_are_floor_or_ceil:
+        # inside each stratum the ancestor counts must be the floor or
+        # ceil of n_c * normalized weight — the systematic exactness
+        # property the compacted-CDF construction restores.
+        strata, w, C = self._setup(seed=3, N=512, C=4)
+        idx = np.asarray(
+            stratified_indices(jax.random.key(2), w, strata, C, "systematic")
+        )
+        s, wn = np.asarray(strata), np.asarray(w)
+        for c in range(C):
+            members = np.flatnonzero(s == c)
+            n_c = members.size
+            p = wn[members] / wn[members].sum()
+            counts = np.bincount(
+                np.searchsorted(members, idx[s == c]), minlength=n_c
+            )
+            expected = n_c * p
+            assert (counts >= np.floor(expected)).all()
+            assert (counts <= np.ceil(expected)).all()
+
+    def test_multinomial_unbiased_within_stratum(self):
+        strata = jnp.asarray(np.repeat([0, 1], 2000))
+        w = jnp.concatenate(
+            [jnp.asarray([1.0, 3.0] * 1000), jnp.ones(2000)]
+        )
+        idx = np.asarray(
+            stratified_indices(jax.random.key(4), w, strata, 2, "multinomial")
+        )
+        first = idx[:2000]
+        # within stratum 0 the odd positions carry 3x the weight
+        frac_odd = (first % 2 == 1).mean()
+        np.testing.assert_allclose(frac_odd, 0.75, atol=0.03)
+
+    def test_batched(self):
+        strata, w, C = self._setup(seed=5, N=32)
+        strata_b = jnp.broadcast_to(strata, (2, 3, 32))
+        w_b = jnp.broadcast_to(w, (2, 3, 32))
+        for method in ("multinomial", "systematic"):
+            idx = stratified_indices(
+                jax.random.key(6), w_b, strata_b, C, method
+            )
+            assert idx.shape == (2, 3, 32)
+            s = np.asarray(strata_b)
+            assert (np.take_along_axis(s, np.asarray(idx), -1) == s).all()
 
 
 class TestTempering:

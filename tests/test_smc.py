@@ -274,6 +274,67 @@ class TestChunkedTiles:
         np.testing.assert_allclose(pmf_chunk, pmf_whole, atol=0.15)
 
 
+class TestMeasuredMemoryModel:
+    """The chunked runner's measured-memory feedback (inference/smc.py
+    ``compiled_live_bytes``): XLA's compiled memory stats replace the
+    hand-tuned 5-copy constant wherever the backend reports them."""
+
+    def test_compiled_live_bytes_measures_the_smc_program(self):
+        # The compiled SMC program reports real temp allocations; the
+        # measured live bytes must cover at least the argument + output
+        # footprint. A trivial temp-free program reports None ("not
+        # measured" — the analytic estimate then stands).
+        from smcdet_tpu.inference.smc import compiled_live_bytes
+
+        prior, model, kernel = make_setup()
+        image, *_ = (two_star_image()[0][None],)
+        cfg = SMCConfig(num_catalogs=32, max_smc_iters=3)
+        compiled = (
+            jax.jit(run_csmc)
+            .lower(jax.random.key(0), image, prior, model, kernel, cfg)
+            .compile()
+        )
+        live = compiled_live_bytes(compiled)
+        ma = compiled.memory_analysis()
+        assert live is not None
+        assert live >= int(ma.argument_size_in_bytes) + int(
+            ma.output_size_in_bytes
+        )
+
+        trivial = (
+            jax.jit(lambda x: x + 1.0).lower(jnp.ones(8)).compile()
+        )
+        assert compiled_live_bytes(trivial) is None
+
+    def test_analytic_estimate_bounds_measured_live_bytes(self):
+        # On a backend with real temp stats (TPU), the analytic per-tile
+        # model must be conservative: measured live bytes of a compiled
+        # chunk <= the analytic budget that sized it.
+        from smcdet_tpu.inference.smc import (
+            compiled_live_bytes,
+            max_tiles_per_chunk,
+        )
+
+        if jax.devices()[0].platform != "tpu":
+            pytest.skip("needs a backend with temp memory stats")
+        prior, model, kernel = make_setup()
+        image = two_star_image()[0]
+        images = jnp.broadcast_to(image, (4,) + image.shape)
+        cfg = SMCConfig(num_catalogs=256, max_smc_iters=3)
+        compiled = (
+            jax.jit(run_csmc)
+            .lower(jax.random.key(0), images, prior, model, kernel, cfg)
+            .compile()
+        )
+        live = compiled_live_bytes(compiled)
+        assert live is not None
+        per_tile_analytic = None
+        budget = 12 * 2**30
+        chunk = max_tiles_per_chunk(prior, 256, 64, budget)
+        per_tile_analytic = budget / chunk
+        assert live / 4 <= per_tile_analytic
+
+
 @pytest.mark.slow
 def test_saturated_single_stratum_mode():
     """The reference's *current* drivers run a single saturated stratum

@@ -176,11 +176,14 @@ def main():
     if sep_path.exists():
         sep = np.load(sep_path)
         ns = sep["counts"].shape[0]
+        # truth for the evaluated tiles rides in the SEP artifact itself
+        # (detect/baseline.py), valid for both the checkerboard and the
+        # even/odd split conventions
         mc_sep = match_catalogs(
             jax.random.key(1),
-            jnp.asarray(tiles["true_counts"][1::2][:ns]),
-            jnp.asarray(tiles["true_locs"][1::2][:ns]),
-            jnp.asarray(np.maximum(tiles["true_fluxes"][1::2][:ns], 1e-6)),
+            jnp.asarray(sep["eval_true_counts"]),
+            jnp.asarray(sep["eval_true_locs"]),
+            jnp.asarray(np.maximum(sep["eval_true_fluxes"], 1e-6)),
             jnp.asarray(sep["counts"])[:, None],
             jnp.asarray(sep["locs"])[:, None],
             jnp.asarray(np.maximum(sep["fluxes"], 1e-6))[:, None],
@@ -205,6 +208,51 @@ def main():
             }
             for m in ("precision", "recall", "f1")
         }
+
+        # head-to-head on the identical eval tiles: restrict the SMC
+        # detection metrics to the SEP eval subset (results.ipynb cells
+        # 45-47 compare both methods over the same 332 eval cutouts)
+        if "eval_indices" in sep:
+            idx = np.asarray(sep["eval_indices"])
+            idx = idx[idx < n][:ns]
+            mc_eval = match_catalogs(
+                jax.random.key(2),
+                jnp.asarray(truth_counts[idx]),
+                jnp.asarray(truth_locs[idx]),
+                jnp.asarray(np.maximum(truth_fluxes[idx], 1e-6)),
+                jnp.asarray(res["pruned_counts"][idx]),
+                jnp.asarray(res["pruned_locs"][idx]),
+                jnp.asarray(np.maximum(res["pruned_fluxes"][idx], 1e-6)),
+                num_est_catalogs_to_match=args.num_match,
+                locs_tol=args.locs_tol,
+                mags_tol=args.mags_tol,
+                mag_bins=jnp.asarray(args.mag_bins),
+                est_weights=(
+                    jnp.asarray(weights[idx]) if weights is not None else None
+                ),
+            )
+            pe, re_, f1e = compute_precision_recall_f1(mc_eval)
+            eval_point = {
+                "precision": np.asarray(pe).mean(0),
+                "recall": np.asarray(re_).mean(0),
+                "f1": np.asarray(f1e).mean(0),
+            }
+            eval_boot = bootstrap_prf(mc_eval, args.bootstrap, seed=2)
+            report["detection_eval_subset"] = {
+                "images": int(idx.size),
+                **{
+                    f"{m}_by_bin": {
+                        "point": np.round(eval_point[m], 4).tolist(),
+                        "ci95_lo": np.round(
+                            ci_summary(eval_point[m], eval_boot[m])[0], 4
+                        ).tolist(),
+                        "ci95_hi": np.round(
+                            ci_summary(eval_point[m], eval_boot[m])[2], 4
+                        ).tolist(),
+                    }
+                    for m in ("precision", "recall", "f1")
+                },
+            }
 
     runtimes_per_image = res.get("runtime_per_image")
     report["runtime_s"] = {

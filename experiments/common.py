@@ -38,7 +38,19 @@ def run_cli(script_path, method: str):
     parser.add_argument("--job-index", type=int, default=0)
     parser.add_argument("--num-jobs", type=int, default=1)
     parser.add_argument("--num-images", type=int, default=None)
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="bootstrap the multi-host process group from the standard "
+        "env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+        "JAX_PROCESS_ID); each process then runs its own image shard",
+    )
     args = parser.parse_args()
+
+    if args.distributed:
+        from smcdet_tpu.parallel.distributed import initialize_distributed
+
+        initialize_distributed()
 
     cfg = experiment_config(script_path)
     if args.num_images is not None:

@@ -21,6 +21,7 @@ Requires network access for step 1; pre-place the files under
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -39,6 +40,9 @@ HUBBLE_URL = (
     "hlsp_acsggct_hst_acs-wfc_ngc6838_r.rdviq.cal.adj.zpt"
 )
 SATURATION_ADU = 60000.0
+# Hubble-catalog depth cut (m71.ipynb cell 15: mag < 24), which also sets
+# the flux-prior support floor via the truncated-Pareto fit.
+MAG_UPPER_BOUND = 24.0
 
 
 def main():
@@ -47,6 +51,14 @@ def main():
     parser.add_argument("--no-download", action="store_true")
     args = parser.parse_args()
 
+    import jax
+
+    # The PSF/noise fit is a tiny 64x64-image optimisation: per-step
+    # tunnel latency to the TPU dwarfs the compute, so force CPU (the
+    # axon plugin overrides the JAX_PLATFORMS env var; the config update
+    # wins — same shim as tests/conftest.py).
+    if os.environ.get("SMCDET_PREPARE_TPU") != "1":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from smcdet_tpu.fitting import (
@@ -84,6 +96,8 @@ def main():
         download_file_to_dst(HUBBLE_URL, hubble_path)
     # columns: 9 = V mag (zero-point adjusted), 21/22 = RA/DEC
     hubble = np.loadtxt(hubble_path, skiprows=3, usecols=(9, 21, 22))
+    # depth cut (m71.ipynb cell 15)
+    hubble = hubble[hubble[:, 0] < MAG_UPPER_BOUND]
     fluxes_all = np.asarray(convert_mag_to_nmgy(hubble[:, 0]))
     wcs = item["wcs"][RBAND]
     locs_all = plocs_from_ra_dec(hubble[:, 1], hubble[:, 2], wcs)
@@ -117,7 +131,7 @@ def main():
     locs_region = locs_all[in_region] - [REGION_Y0, REGION_X0]
     fluxes_region = fluxes_all[in_region]
 
-    # per-tile truth catalogs
+    # per-tile truth catalogs (in-tile coords)
     max_per_tile = 32
     true_counts = np.zeros(th * tw, dtype=np.int64)
     true_locs = np.zeros((th * tw, max_per_tile, 2))
@@ -130,37 +144,65 @@ def main():
             true_fluxes[t, m] = fluxes_region[i]
             true_counts[t] += 1
 
+    # per-tile padded-region catalogs: every star within the tile's padded
+    # window [-pad, TILE+pad)^2 in padded-local coords — the "unpruned"
+    # per-tile catalogs the reference's semisynthetic experiment renders
+    # (m71.ipynb cells 19-23 -> m71semisynthetic/generate_images.py:26-27).
+    pad = 4.0
+    max_padded = 64
+    padded_counts = np.zeros(th * tw, dtype=np.int64)
+    padded_locs = np.zeros((th * tw, max_padded, 2))
+    padded_fluxes = np.zeros((th * tw, max_padded))
+    for t in range(th * tw):
+        ty, tx = (t // tw) * TILE, (t % tw) * TILE
+        rel = locs_region - [ty, tx]
+        in_pad = (
+            (rel[:, 0] >= -pad)
+            & (rel[:, 0] < TILE + pad)
+            & (rel[:, 1] >= -pad)
+            & (rel[:, 1] < TILE + pad)
+        )
+        sel = np.flatnonzero(in_pad)[:max_padded]
+        padded_counts[t] = sel.size
+        padded_locs[t, : sel.size] = rel[sel]
+        padded_fluxes[t, : sel.size] = fluxes_region[sel]
+
     # ------------------------------------------------------------------
     # 3. hyperparameter fitting
     # ------------------------------------------------------------------
-    pad = 4.0
     alpha, f_lower, f_upper = fit_truncated_pareto_flux(fluxes_region)
-    counts_rate = fit_poisson_rate(
-        true_counts[keep], area=(TILE + 2 * pad) ** 2
-    )
+    # Per-PIXEL density from in-tile counts over the in-tile area
+    # (m71.ipynb cell 51 divides by tile_dim^2); the prior then scales by
+    # the padded area (models/priors.py:306). Dividing by the padded area
+    # here would double-count the pad and underestimate the density 4x.
+    counts_rate = fit_poisson_rate(true_counts[keep], area=TILE**2)
 
     gain = float(np.mean(item["gain"][RBAND]))
     adu_per_nmgy0 = float(np.mean(item["flux_calibration"][RBAND]))
     psf_params0 = tuple(float(p) for p in item["psf_params"][RBAND])
 
-    # fit on an off-target 64x64 patch with known Hubble stars
+    # fit on an off-target 64x64 patch with known Hubble stars. Include
+    # stars up to psf_radius OUTSIDE the patch: their photons spill in,
+    # and omitting them is model error the noise fit would absorb. Use
+    # the real (spatially varying) background map, not its mean — the
+    # reference assumes the SDSS-reported background correct (m71.ipynb
+    # cell 83).
     fit_y0, fit_x0 = REGION_Y0 - 96, REGION_X0
+    margin = 8.0  # psf_radius
     patch = image[fit_y0 : fit_y0 + 64, fit_x0 : fit_x0 + 64]
-    patch_bkg = float(
-        np.mean(background[fit_y0 : fit_y0 + 64, fit_x0 : fit_x0 + 64])
-    )
+    patch_bkg = background[fit_y0 : fit_y0 + 64, fit_x0 : fit_x0 + 64]
     in_patch = (
-        (locs_all[:, 0] >= fit_y0)
-        & (locs_all[:, 0] < fit_y0 + 64)
-        & (locs_all[:, 1] >= fit_x0)
-        & (locs_all[:, 1] < fit_x0 + 64)
+        (locs_all[:, 0] >= fit_y0 - margin)
+        & (locs_all[:, 0] < fit_y0 + 64 + margin)
+        & (locs_all[:, 1] >= fit_x0 - margin)
+        & (locs_all[:, 1] < fit_x0 + 64 + margin)
     )
     fit = fit_image_model(
         jnp.asarray(patch, dtype=jnp.float32),
         jnp.asarray(locs_all[in_patch] - [fit_y0, fit_x0], dtype=jnp.float32),
         jnp.asarray(fluxes_all[in_patch], dtype=jnp.float32),
         psf_params_init=psf_params0,
-        background_init=patch_bkg,
+        background_init=jnp.asarray(patch_bkg, dtype=jnp.float32),
         adu_per_nmgy_init=adu_per_nmgy0,
         num_steps=200,
     )
@@ -178,6 +220,9 @@ def main():
         true_counts=true_counts[keep],
         true_locs=true_locs[keep],
         true_fluxes=true_fluxes[keep],
+        padded_counts=padded_counts[keep],
+        padded_locs=padded_locs[keep],
+        padded_fluxes=padded_fluxes[keep],
         tile_index=np.flatnonzero(keep),
     )
     params = {

@@ -29,18 +29,40 @@ if (
     except Exception:  # pragma: no cover - plugin-dependent
         pass
 
-from smcdet_tpu import (  # noqa: F401
-    config,
-    detect,
-    distributions,
-    inference,
-    ingest,
-    metrics,
-    models,
-    ops,
-    parallel,
-    utils,
-    validation,
+# Submodules load lazily (PEP 562). Besides import latency, this matters
+# for multi-host bootstrap: jax.distributed.initialize() must run before
+# anything touches the XLA backend, and several submodules materialise
+# jnp constants at import time — an eager package import would initialise
+# the backend before parallel.distributed could be reached.
+import importlib as _importlib
+
+_SUBMODULES = (
+    "config",
+    "detect",
+    "distributions",
+    "fitting",
+    "inference",
+    "ingest",
+    "metrics",
+    "models",
+    "ops",
+    "parallel",
+    "runner",
+    "utils",
+    "validation",
 )
+
+
+def __getattr__(name):
+    if name in _SUBMODULES:
+        mod = _importlib.import_module(f"smcdet_tpu.{name}")
+        globals()[name] = mod
+        return mod
+    raise AttributeError(f"module 'smcdet_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_SUBMODULES))
+
 
 __version__ = "0.1.0"

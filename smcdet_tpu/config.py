@@ -28,6 +28,7 @@ __all__ = [
     "build_prior",
     "build_image_model",
     "build_kernel",
+    "apply_fitted_params",
     "load_config",
     "save_config",
 ]
@@ -82,6 +83,13 @@ class SamplerConfig:
     max_smc_iters: int = 100
     flux_detection_threshold: float = 0.7
     tile_dim: int = 8
+    # prior-draw relocation sweeps per mutation (many-object mixing fix)
+    relocate_sweeps: int = 0
+    # independent CS-SMC(+aggregation) repetitions per image, pooled into
+    # one particle set with log_z combined by log-mean-exp: sqrt(R)
+    # variance reduction on the count pmf (the per-run logZ noise makes
+    # softmax(log_z) overconfident; see docs/results divideandconquer)
+    replicates: int = 1
 
 
 @dataclass
@@ -115,6 +123,15 @@ class ExperimentConfig:
     batch_size: int = 10
     output_dir: str = "output"
     data_path: Optional[str] = None  # None => simulate
+    # Fitted-hyperparameter artifact written by prepare_data.py
+    # (the reference's params.pkl, m71.ipynb cells 98-99). When the file
+    # exists, its values override the prior/image-model/kernel fields at
+    # load time (apply_fitted_params) so experiment YAMLs never go stale
+    # against a re-fit.
+    params_path: Optional[str] = None
+    # Use the per-tile background maps stored in tiles.npz (key
+    # "background") instead of the image model's scalar background.
+    use_tile_backgrounds: bool = False
     prior: PriorConfig = field(default_factory=PriorConfig)
     image_model: ImageModelConfig = field(default_factory=ImageModelConfig)
     kernel: KernelConfig = field(default_factory=KernelConfig)
@@ -260,9 +277,61 @@ def save_config(cfg: ExperimentConfig, path):
         yaml.safe_dump(_to_dict(cfg), f, sort_keys=False)
 
 
+def apply_fitted_params(cfg: ExperimentConfig, params: dict) -> None:
+    """Overlay a fitted-params dict (prepare_data.py's params.yaml, the
+    reference's params.pkl) onto the config in place.
+
+    Mirrors how the reference drivers consume params.pkl
+    (experiments/m71/run_smc.py:46-86): flux prior + kernel truncation
+    bounds, count rate, and the full fitted image model.
+    """
+    p = cfg.prior
+    if "flux_alpha" in params:
+        p.flux_alpha = float(params["flux_alpha"])
+    if "flux_lower" in params:
+        p.flux_lower = float(params["flux_lower"])
+        cfg.kernel.fluxes_min = float(params["flux_lower"])
+    if "flux_upper" in params:
+        p.flux_upper = float(params["flux_upper"])
+        cfg.kernel.fluxes_max = float(params["flux_upper"])
+    if "counts_rate" in params:
+        p.counts_rate = float(params["counts_rate"])
+    if "pad" in params:
+        p.pad = float(params["pad"])
+    im = cfg.image_model
+    for key in (
+        "background",
+        "adu_per_nmgy",
+        "noise_additive",
+        "noise_multiplicative",
+    ):
+        if key in params:
+            setattr(im, key, float(params[key]))
+    if "psf_params" in params:
+        im.psf_params = tuple(float(v) for v in params["psf_params"])
+    if "psf_radius" in params:
+        im.psf_radius = int(params["psf_radius"])
+    if "flux_detection_threshold" in params:
+        cfg.sampler.flux_detection_threshold = float(
+            params["flux_detection_threshold"]
+        )
+
+
 def load_config(path) -> ExperimentConfig:
     import yaml
 
     with open(path) as f:
         d = yaml.safe_load(f)
-    return _from_dict(ExperimentConfig, d)
+    cfg = _from_dict(ExperimentConfig, d)
+    if cfg.params_path is not None:
+        # relative to the config file's directory first, then the cwd
+        candidates = [
+            Path(path).parent / cfg.params_path,
+            Path(cfg.params_path),
+        ]
+        for c in candidates:
+            if c.exists():
+                with open(c) as f:
+                    apply_fitted_params(cfg, yaml.safe_load(f))
+                break
+    return cfg

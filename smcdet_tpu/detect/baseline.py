@@ -48,17 +48,38 @@ def run_sep_baseline(
     """Tune + run the extractor; returns (best_f1, best_params, results).
 
     ``tiles`` must contain images and true_* arrays (runner.simulate_tiles
-    output). Even images tune, odd evaluate — the reference's checkerboard
-    split pattern (run_sep.py:24-27)."""
+    output). The tune/eval split: the ``checkerboard`` column when present
+    (True = train/tune half — the reference's real checkerboard split,
+    m71.ipynb cells 20-25), otherwise even tiles tune / odd evaluate
+    (run_sep.py:24-27). Per-tile ``background`` maps are used for the
+    subtraction when present (real frame sky instead of the configured
+    scalar)."""
     if key is None:
         key = jax.random.key(0)
     model = build_image_model(cfg.image_model)
     flux_scale = _psf_flux_scale(model)
-    background = cfg.image_model.background
-    err = float(np.sqrt(background))
 
-    tune = {k: v[0::2][:num_tune] for k, v in tiles.items()}
-    eval_ = {k: v[1::2] for k, v in tiles.items()}
+    n = tiles["images"].shape[0]
+    if "checkerboard" in tiles:
+        cb = np.asarray(tiles["checkerboard"]).astype(bool)
+        tune_idx = np.flatnonzero(cb)[:num_tune]
+        eval_idx = np.flatnonzero(~cb)
+    else:
+        tune_idx = np.arange(0, n, 2)[:num_tune]
+        eval_idx = np.arange(1, n, 2)
+    arrays = {
+        k: v for k, v in tiles.items() if getattr(v, "ndim", 0) >= 1
+    }
+    tune = {k: v[tune_idx] for k, v in arrays.items()}
+    eval_ = {k: v[eval_idx] for k, v in arrays.items()}
+
+    if "background" in tiles:
+        bkg_tune = np.asarray(tune["background"])
+        bkg_eval = np.asarray(eval_["background"])
+        err = float(np.sqrt(bkg_tune.mean()))
+    else:
+        bkg_tune = bkg_eval = cfg.image_model.background
+        err = float(np.sqrt(cfg.image_model.background))
 
     det_thresh_mag = float(
         convert_nmgy_to_mag(
@@ -74,7 +95,7 @@ def run_sep_baseline(
         tune["true_counts"],
         tune["true_locs"],
         tune["true_fluxes"],
-        background=background,
+        background=jnp.asarray(bkg_tune, dtype=jnp.float32),
         err=err,
         adu_per_nmgy=flux_scale,
         mag_bins=mag_bins,
@@ -85,7 +106,8 @@ def run_sep_baseline(
     )
 
     counts, locs, fluxes = extract_batch(
-        jnp.asarray(eval_["images"]) - background,
+        jnp.asarray(eval_["images"])
+        - jnp.asarray(bkg_eval, dtype=jnp.float32),
         thresh=best["thresh"],
         err=err,
         minarea=best["minarea"],
@@ -99,6 +121,9 @@ def run_sep_baseline(
         "eval_true_counts": np.asarray(eval_["true_counts"]),
         "eval_true_locs": np.asarray(eval_["true_locs"]),
         "eval_true_fluxes": np.asarray(eval_["true_fluxes"]),
+        # which tiles of the artifact the eval rows correspond to, so the
+        # analysis can compare SMC and SEP on the identical subset
+        "eval_indices": eval_idx,
     }
     return score, best, results
 
@@ -108,7 +133,7 @@ def run_sep_cli(script_path, argv=None):
     import argparse
 
     from smcdet_tpu.config import load_config
-    from smcdet_tpu.runner import simulate_tiles
+    from smcdet_tpu.runner import _load_tiles
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--num-tune", type=int, default=50)
@@ -121,11 +146,9 @@ def run_sep_cli(script_path, argv=None):
     out_dir = Path(cfg.output_dir) / cfg.name
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    tiles_path = out_dir / "tiles.npz"
-    if tiles_path.exists():
-        tiles = dict(np.load(tiles_path))
-    else:
-        tiles = simulate_tiles(cfg)
+    # same resolution order as the SMC/MCMC drivers: explicit data_path,
+    # staged tiles.npz, else simulate
+    tiles = _load_tiles(cfg)
 
     score, best, results = run_sep_baseline(
         cfg, tiles, num_tune=args.num_tune

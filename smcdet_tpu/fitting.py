@@ -152,7 +152,8 @@ def fit_image_model(
     model = build_model(params)
     return FittedImageModel(
         psf_params=tuple(float(v) for v in jnp.exp(params["log_psf"])),
-        background=float(model.background),
+        # scalar summary even when a background map was supplied
+        background=float(jnp.mean(jnp.asarray(model.background))),
         adu_per_nmgy=float(jnp.exp(params["log_adu"])),
         noise_additive=float(jnp.exp(params["log_add"])),
         noise_multiplicative=float(jnp.exp(params["log_mult"])),

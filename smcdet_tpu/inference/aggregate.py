@@ -620,9 +620,52 @@ class Aggregate:
             **kwargs,
         )
 
-    def run(self, key=None, verbose=False):
+    @staticmethod
+    def _level_sharding(devices, Th, Tw):
+        """Sharding for one level's state: factor the device count over
+        the two tile-grid axes, maximising the number of devices used;
+        leftover devices replicate (the "spare" mesh axis). At the top of
+        the tree (1x1 grid) this degrades to full replication.
+
+        Every ``AggregateState`` leaf leads with ``[Th, Tw]``, so one spec
+        covers the whole pytree. The pairwise join along a sharded axis
+        becomes a neighbour exchange over ICI (SURVEY §7: ``log2(T)``
+        reshard-on-pairs steps); joins along unsharded axes are fully
+        local. XLA's sharding propagation inserts the collectives.
+        """
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        n = len(devices)
+        best_a, best_b = 1, 1
+        for a in range(1, n + 1):
+            if n % a or Th % a:
+                continue
+            for b in range(1, n // a + 1):
+                if (n // a) % b or Tw % b:
+                    continue
+                if a * b > best_a * best_b:
+                    best_a, best_b = a, b
+        a, b = best_a, best_b
+        mesh = Mesh(
+            np.asarray(devices).reshape(a, b, n // (a * b)),
+            ("th", "tw", "spare"),
+        )
+        return NamedSharding(mesh, P("th", "tw"))
+
+    def run(self, key=None, verbose=False, devices=None):
+        """Run the merge tree. ``devices``: optional device list/mesh — the
+        tile grid shards over a 1-D mesh while it is large enough, with
+        per-level resharding as the grid halves (see ``_level_sharding``);
+        default single-device jit."""
         if key is None:
             key = jax.random.key(0)
+        if devices is not None:
+            from jax.sharding import Mesh
+
+            if isinstance(devices, Mesh):
+                devices = list(devices.devices.ravel())
+            devices = list(devices)
         state = self.state
         Th, Tw = self.num_tiles_h, self.num_tiles_w
         H, W = state.data.shape[2], state.data.shape[3]
@@ -640,6 +683,10 @@ class Aggregate:
                     dims=(Th, Tw, H, W),
                 )
             )
+            if devices is not None:
+                state = jax.device_put(
+                    state, self._level_sharding(devices, Th, Tw)
+                )
             state, diag = step(k_level, state)
             self.diagnostics.append(jax.device_get(diag))
             d = self.diagnostics[-1]

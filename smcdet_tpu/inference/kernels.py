@@ -126,6 +126,11 @@ class TargetContext:
         eff = jnp.asarray(self.model.adu_per_nmgy) * fluxes  # [..., M]
         M = fluxes.shape[-1]
         bg = jnp.asarray(self.model.background)
+        if bg.ndim >= 2:
+            # per-tile background map: flatten the trailing [H, W] image
+            # dims to match the flat-pixel rate layout (any leading batch
+            # dims must broadcast against the particle batch)
+            bg = bg.reshape(bg.shape[:-2] + (-1,))
         zero = jnp.zeros(
             fluxes.shape[:-1] + (self.model.height * self.model.width,)
         )
@@ -579,6 +584,10 @@ class SingleComponentMALA:
     fluxes_step: jax.Array = 1.0
     fluxes_min: jax.Array = 0.0
     fluxes_max: jax.Array = 1e6
+    # "auto": fused Pallas sweep loop with ANALYTIC slot gradients on TPU
+    # when the target supports it (ops/pallas_sweep.pallas_mala_sweeps);
+    # "xla": always the jax.grad lax.scan path below.
+    backend: str = struct.field(pytree_node=False, default="auto")
 
     def _slot_target(self, ctx, base, active, loc, f, side=None):
         """Tempered log-target as a function of slot-j params only.
@@ -724,6 +733,32 @@ class SingleComponentMALA:
 
     def run_from_state(self, key, ctx: TargetContext, counts,
                        state: KernelState):
+        if self.backend != "xla":
+            from smcdet_tpu.ops import pallas_sweep
+
+            if pallas_sweep.supports_mala(ctx, self):
+                locs2, fluxes2, rate, pll, lp, acc, _, _ = (
+                    pallas_sweep.pallas_mala_sweeps(
+                        key, ctx, self, counts, state.locs, state.fluxes,
+                        state.rate, state.parent_ll, state.logprior,
+                    )
+                )
+                state = KernelState(
+                    locs=locs2,
+                    fluxes=fluxes2,
+                    rate=rate,
+                    child_rate=None,
+                    parent_ll=pll,
+                    child_ll=None,
+                    logprior=lp,
+                )
+                return state, acc.mean(-1)
+            if self.backend == "pallas":
+                raise NotImplementedError(
+                    "pallas backend requested but this target configuration "
+                    "is not supported by the fused MALA kernel"
+                )
+
         def body(carry, k):
             st, acc_n = carry
             st, accept = self.sweep(k, ctx, counts, st)

@@ -77,6 +77,14 @@ class SMCConfig:
     fixed_schedule: tuple | None = struct.field(
         pytree_node=False, default=None
     )
+    # Prior-draw relocation sweeps appended to each mutation
+    # (kernels.relocate_sweeps). In the many-object regime the
+    # single-component random walk cannot carry a star across the
+    # low-probability valley between two source modes; an independence
+    # relocation jumps it in one move. 0 disables (the reference has no
+    # tile-level analogue; its bridge-level counterpart is
+    # aggregate relocate_sweeps).
+    relocate_sweeps: int = struct.field(pytree_node=False, default=0)
 
 
 class SMCState(NamedTuple):
@@ -303,6 +311,17 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
         kstate, acc_rate = kernel.run_from_state(
             k_mut, ctx, counts_b, kstate_in
         )
+        if cfg.relocate_sweeps:
+            from smcdet_tpu.inference.kernels import relocate_sweeps
+
+            key, k_rel = jax.random.split(key)
+            kstate, acc_rel = relocate_sweeps(
+                k_rel, ctx, counts_b, kstate, cfg.relocate_sweeps
+            )
+            n_mh = kernel.num_iters
+            acc_rate = (
+                acc_rate * n_mh + acc_rel * cfg.relocate_sweeps
+            ) / (n_mh + cfg.relocate_sweeps)
         locs = jnp.where(keep[..., None, None], state.locs, kstate.locs)
         fluxes = jnp.where(keep[..., None], state.fluxes, kstate.fluxes)
         loglik = jnp.where(keep, state.loglik, kstate.parent_ll)
@@ -555,6 +574,7 @@ class SMCSampler:
         flux_detection_threshold=0.0,
         max_smc_iters=100,
         print_every=0,
+        relocate_sweeps=0,
     ):
         self.image = jnp.asarray(image, dtype=jnp.float32)
         self.image_height, self.image_width = self.image.shape
@@ -574,6 +594,7 @@ class SMCSampler:
             max_smc_iters=max_smc_iters,
             flux_detection_threshold=flux_detection_threshold,
             print_every=print_every,
+            relocate_sweeps=relocate_sweeps,
         )
         self.result: SMCResult | None = None
 

@@ -42,7 +42,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_mh_sweeps", "supports"]
+__all__ = ["pallas_mh_sweeps", "pallas_mala_sweeps", "supports",
+           "supports_mala"]
 
 _SQRT2 = 1.4142135623730951
 _HALF_LOG_2PI = 0.9189385332046727
@@ -115,6 +116,24 @@ def supports(ctx, kernel) -> bool:
     )
 
 
+def supports_mala(ctx, kernel) -> bool:
+    """True if the fused MALA kernel covers this target configuration.
+
+    Same model/PSF coverage as the MH kernel but the tile-level target
+    only: the bridge's child term would need per-slot side-masked
+    gradients (the gradient of the masked render w.r.t. location picks up
+    the same mask — doable, but the bridge mixes through relocation
+    sweeps anyway and no reference experiment runs MALA there)."""
+    from smcdet_tpu.models.psf import GaussianPSF, SDSSPSF
+
+    return (
+        ctx.child_model is None
+        and ctx.model.noise in ("gaussian", "poisson")
+        and isinstance(ctx.model.psf, (GaussianPSF, SDSSPSF))
+        and jax.devices()[0].platform == "tpu"
+    )
+
+
 def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
                  flux_is_normal, child_axis=None, side_from_tag=False):
     HW = H * W
@@ -174,7 +193,9 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
         loc_low_y, loc_low_x = pp[4], pp[5]
         loc_high_y, loc_high_x = pp[6], pp[7]
         adu = pp[8]
-        background = pp[9]
+        # pp[9] (background) is informational only: the background enters
+        # through the pre-seeded rate caches (TargetContext.init_rates),
+        # which also makes per-tile background maps transparent here.
         noise_add = pp[10]
         noise_mult = pp[11]
         psf_radius = pp[12]
@@ -398,25 +419,322 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
     return kernel
 
 
+def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
+                      flux_is_pareto, flux_is_normal):
+    """Fused single-component MALA sweep loop (tile-level target only).
+
+    The slot target's gradient is closed-form — no autodiff inside the
+    kernel (VERDICT r2 task 4): with ``rate = rate_wo + a*adu*f*psi(ly,lx)``,
+
+      dG/df  = flux_lp'(f) + tau * sum_px dll/drate * a*adu*psi
+      dG/dly = tau * sum_px dll/drate * a*adu*f * psi'(r2) * (-2*dy)
+      dG/dlx = tau * sum_px dll/drate * a*adu*f * psi'(r2) * (-2*dx)
+
+    (the patch mask and floor() have zero gradient, matching what
+    ``jax.grad`` of the XLA path computes). Per sweep this costs two
+    PSF+derivative evaluations and three extra HW reductions on top of
+    the MH sweep's work — the measured basis for MALA landing within
+    ~2-3x of MH instead of the XLA path's ~10x.
+    """
+    HW = H * W
+
+    def kernel(*refs):
+        (
+            seed_ref,
+            params_ref,
+            temp_ref,
+            image_ref,
+            img_lgamma_ref,
+            counts_ref,
+            locs_y_ref,
+            locs_x_ref,
+            fluxes_ref,
+            rate_ref,
+            pll_ref,
+            lp_ref,
+            out_locs_y,
+            out_locs_x,
+            out_fluxes,
+            out_rate,
+            out_pll,
+            out_lp,
+            out_acc,
+        ) = refs
+        t = pl.program_id(0)
+        b = pl.program_id(1)
+        mixed = (
+            seed_ref[0]
+            + seed_ref[1] * jnp.int32(-1640531527)
+            + t * jnp.int32(-2048144789)
+            + b * jnp.int32(-1028477387)
+        )
+        pltpu.prng_seed(mixed)
+
+        pp = params_ref
+        locs_step = pp[0]
+        fluxes_step = pp[1]
+        fluxes_min = pp[2]
+        fluxes_max = pp[3]
+        loc_low_y, loc_low_x = pp[4], pp[5]
+        loc_high_y, loc_high_x = pp[6], pp[7]
+        adu = pp[8]
+        noise_add = pp[10]
+        noise_mult = pp[11]
+        psf_radius = pp[12]
+        normal_tail = pp[20]
+        flux_a = pp[21]
+        flux_b = pp[22]
+
+        tau = temp_ref[t]
+        image = image_ref[0, :, :]  # [HW, 1]
+        counts = counts_ref[0]  # [1, P]
+
+        hh_i = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)
+        h_pix = (hh_i // W).astype(jnp.float32) + 0.5
+        w_pix = (hh_i % W).astype(jnp.float32) + 0.5
+        m_iota = jax.lax.broadcasted_iota(jnp.int32, (M, P), 0)
+
+        def psf_and_deriv(ly, lx):
+            """psi [HW,P], dpsi/dr2 [HW,P], dy, dx for one star."""
+            dy = h_pix - ly
+            dx = w_pix - lx
+            in_h = jnp.abs(h_pix - 0.5 - jnp.floor(ly)) <= psf_radius
+            in_w = jnp.abs(w_pix - 0.5 - jnp.floor(lx)) <= psf_radius
+            mask = (in_h & in_w).astype(jnp.float32)
+            r2 = dy * dy + dx * dx
+            if psf_kind == "sdss":
+                s1, s2, sp, beta, bb, p0 = (
+                    pp[13], pp[14], pp[15], pp[16], pp[17], pp[18]
+                )
+                norm = (1.0 + bb + p0) * pp[19]
+                t1 = jnp.exp(-r2 / (2.0 * s1))
+                t2 = bb * jnp.exp(-r2 / (2.0 * s2))
+                wing = jnp.exp(
+                    (-beta / 2.0) * jnp.log1p(r2 / (beta * sp))
+                )
+                t3 = p0 * wing
+                psi = (t1 + t2 + t3) / norm
+                dpsi = (
+                    t1 * (-1.0 / (2.0 * s1))
+                    + t2 * (-1.0 / (2.0 * s2))
+                    + t3 * (-0.5) / (sp + r2 / beta)
+                ) / norm
+            else:
+                stdev = pp[13]
+                psi = jnp.exp(-0.5 * r2 / (stdev * stdev)) / (
+                    stdev * 2.5066282746310002
+                )
+                dpsi = psi * (-0.5 / (stdev * stdev))
+            return psi * mask, dpsi * mask, dy, dx
+
+        def loglik(rate):
+            if noise == "gaussian":
+                var = noise_add + noise_mult * rate
+                ll = (
+                    -0.5 * (image - rate) ** 2 / var
+                    - 0.5 * jnp.log(var)
+                    - _HALF_LOG_2PI
+                )
+            else:
+                logpmf = (
+                    image * jnp.log(rate) - rate - img_lgamma_ref[0, :, :]
+                )
+                z2 = (image - rate) ** 2 / rate
+                lognorm = -0.5 * z2 - 0.5 * jnp.log(rate) - _HALF_LOG_2PI
+                ll = jnp.where(rate > normal_tail, lognorm, logpmf)
+            return ll.sum(axis=0, keepdims=True)  # [1, P]
+
+        def dll_drate(rate):
+            """d loglik / d rate per pixel (same branch rules)."""
+            if noise == "gaussian":
+                var = noise_add + noise_mult * rate
+                r = image - rate
+                return (
+                    r / var
+                    + 0.5 * r * r * noise_mult / (var * var)
+                    - 0.5 * noise_mult / var
+                )
+            d_pois = image / rate - 1.0
+            r = image - rate
+            d_norm = r / rate + 0.5 * r * r / (rate * rate) - 0.5 / rate
+            return jnp.where(rate > normal_tail, d_norm, d_pois)
+
+        def flux_log_prob(f):
+            if flux_is_pareto:
+                return flux_b - (flux_a + 1.0) * jnp.log(f)
+            if flux_is_normal:
+                z = (f - flux_a) / flux_b
+                return -0.5 * z * z - jnp.log(flux_b) - _HALF_LOG_2PI
+            return jnp.zeros_like(f)
+
+        def flux_log_prob_grad(f):
+            if flux_is_pareto:
+                return -(flux_a + 1.0) / f
+            if flux_is_normal:
+                return -(f - flux_a) / (flux_b * flux_b)
+            return jnp.zeros_like(f)
+
+        def tn_log_q(x, mu, sigma, lb, ub):
+            """log density of TruncatedNormal(mu, sigma, lb, ub) at x."""
+            z = (x - mu) / sigma
+            return (
+                -0.5 * z * z
+                - jnp.log(sigma)
+                - _HALF_LOG_2PI
+                - _tn_log_mass(mu, sigma, lb, ub)
+            )
+
+        half_ls2 = 0.5 * locs_step * locs_step
+        half_fs2 = 0.5 * fluxes_step * fluxes_step
+
+        def body(i, carry):
+            locs_y, locs_x, fluxes, rate, pll, lp, acc = carry
+
+            u_j = _uniform((1, P))
+            j = jnp.minimum(jnp.floor(u_j * M).astype(jnp.int32), M - 1)
+            onehot = (m_iota == j).astype(jnp.float32)  # [M, P]
+            active = (j < counts).astype(jnp.float32)  # [1, P]
+
+            loc_jy = (locs_y * onehot).sum(0, keepdims=True)
+            loc_jx = (locs_x * onehot).sum(0, keepdims=True)
+            f_j = (fluxes * onehot).sum(0, keepdims=True)
+            f_safe = jnp.where(active > 0, f_j, fluxes_min)
+
+            psi_o, dpsi_o, dy_o, dx_o = psf_and_deriv(loc_jy, loc_jx)
+            aeff = active * adu  # [1, P]
+            rate_wo = rate - aeff * f_j * psi_o
+
+            # forward drift at the current point (rate is the cached full
+            # render; the slot's loglik-sum comes cached in pll)
+            g_o = tau * dll_drate(rate)  # [HW, P]
+            gly = (g_o * dpsi_o * (-2.0 * dy_o)).sum(0, keepdims=True) * (
+                aeff * f_j
+            )
+            glx = (g_o * dpsi_o * (-2.0 * dx_o)).sum(0, keepdims=True) * (
+                aeff * f_j
+            )
+            gf = (g_o * psi_o).sum(0, keepdims=True) * aeff + (
+                active * flux_log_prob_grad(f_safe)
+            )
+
+            mu_y = loc_jy + half_ls2 * gly
+            mu_x = loc_jx + half_ls2 * glx
+            mu_f = f_safe + half_fs2 * gf
+            y_prop, _ = _tn_sample_logq(
+                _uniform((1, P)), mu_y, locs_step, loc_low_y, loc_high_y
+            )
+            x_prop, _ = _tn_sample_logq(
+                _uniform((1, P)), mu_x, locs_step, loc_low_x, loc_high_x
+            )
+            f_prop, _ = _tn_sample_logq(
+                _uniform((1, P)), mu_f, fluxes_step, fluxes_min, fluxes_max
+            )
+
+            psi_n, dpsi_n, dy_n, dx_n = psf_and_deriv(y_prop, x_prop)
+            rate_prop = rate_wo + aeff * f_prop * psi_n
+            pll_prop = loglik(rate_prop)
+            lp_prop = lp + active * (
+                flux_log_prob(f_prop) - flux_log_prob(f_safe)
+            )
+
+            # reverse drift at the proposal
+            g_n = tau * dll_drate(rate_prop)
+            gly_r = (g_n * dpsi_n * (-2.0 * dy_n)).sum(
+                0, keepdims=True
+            ) * (aeff * f_prop)
+            glx_r = (g_n * dpsi_n * (-2.0 * dx_n)).sum(
+                0, keepdims=True
+            ) * (aeff * f_prop)
+            gf_r = (g_n * psi_n).sum(0, keepdims=True) * aeff + (
+                active * flux_log_prob_grad(f_prop)
+            )
+            mu_y_r = y_prop + half_ls2 * gly_r
+            mu_x_r = x_prop + half_ls2 * glx_r
+            mu_f_r = f_prop + half_fs2 * gf_r
+
+            log_q_fwd = (
+                tn_log_q(y_prop, mu_y, locs_step, loc_low_y, loc_high_y)
+                + tn_log_q(x_prop, mu_x, locs_step, loc_low_x, loc_high_x)
+                + tn_log_q(f_prop, mu_f, fluxes_step, fluxes_min, fluxes_max)
+            )
+            log_q_rev = (
+                tn_log_q(loc_jy, mu_y_r, locs_step, loc_low_y, loc_high_y)
+                + tn_log_q(loc_jx, mu_x_r, locs_step, loc_low_x, loc_high_x)
+                + tn_log_q(
+                    f_safe, mu_f_r, fluxes_step, fluxes_min, fluxes_max
+                )
+            )
+
+            log_alpha = (
+                (lp_prop + tau * pll_prop)
+                - (lp + tau * pll)
+                + log_q_rev
+                - log_q_fwd
+            )
+            u_acc = _uniform((1, P))
+            accept = (
+                (u_acc <= jnp.exp(jnp.minimum(log_alpha, 0.0)))
+                & (active > 0)
+            ).astype(jnp.float32)
+
+            sel = onehot * accept
+            locs_y = locs_y + sel * (y_prop - loc_jy)
+            locs_x = locs_x + sel * (x_prop - loc_jx)
+            fluxes = fluxes + sel * (f_prop - f_j)
+            rate = rate + accept * (rate_prop - rate)
+            pll = pll + accept * (pll_prop - pll)
+            lp = lp + accept * (lp_prop - lp)
+            acc = acc + accept
+            return (locs_y, locs_x, fluxes, rate, pll, lp, acc)
+
+        init = (
+            locs_y_ref[0],
+            locs_x_ref[0],
+            fluxes_ref[0],
+            rate_ref[0],
+            pll_ref[0],
+            lp_ref[0],
+            jnp.zeros((1, P), jnp.float32),
+        )
+        locs_y, locs_x, fluxes, rate, pll, lp, acc = jax.lax.fori_loop(
+            0, num_iters, body, init
+        )
+        out_locs_y[0] = locs_y
+        out_locs_x[0] = locs_x
+        out_fluxes[0] = fluxes
+        out_rate[0] = rate
+        out_pll[0] = pll
+        out_lp[0] = lp
+        out_acc[0] = acc
+
+    return kernel
+
+
 @partial(
     jax.jit,
     static_argnames=("num_iters", "block", "noise", "psf_kind",
                      "flux_is_pareto", "flux_is_normal", "dims",
-                     "child_axis", "side_from_tag"),
+                     "child_axis", "side_from_tag", "variant"),
 )
 def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
          pll, lp, child_rate=None, cll=None, slot_side=None, *, num_iters,
          block, noise, psf_kind, flux_is_pareto, flux_is_normal, dims,
-         child_axis=None, side_from_tag=False):
+         child_axis=None, side_from_tag=False, variant="mh"):
     T, CN, M, H, W = dims
     HW = H * W
     P = block
     nb = CN // P
     has_child = child_axis is not None
 
-    kern = _make_kernel(H, W, M, P, num_iters, noise, psf_kind,
-                        flux_is_pareto, flux_is_normal,
-                        child_axis=child_axis, side_from_tag=side_from_tag)
+    if variant == "mala":
+        assert not has_child, "fused MALA covers the tile-level target only"
+        kern = _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
+                                 flux_is_pareto, flux_is_normal)
+    else:
+        kern = _make_kernel(H, W, M, P, num_iters, noise, psf_kind,
+                            flux_is_pareto, flux_is_normal,
+                            child_axis=child_axis,
+                            side_from_tag=side_from_tag)
 
     # lane-major reshapes: [T, CN, ...] -> [T*nb, rows, P]
     def to_blocks(x, rows):
@@ -550,7 +868,7 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
 
 def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
                      parent_ll, logprior, child_rate=None, child_ll=None,
-                     block: int = 256):
+                     block: int = 256, variant: str = "mh"):
     """Run ``kernel.num_iters`` fused MH sweeps; returns
     ``(locs, fluxes, rate, parent_ll, logprior, accept_frac)``.
 
@@ -586,8 +904,13 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
     from smcdet_tpu.inference.kernels import _effective_flux_floor
 
     vals = {
-        0: kernel.locs_stdev,
-        1: kernel.fluxes_stdev,
+        # MH carries stdevs, MALA carries step sizes in these two slots
+        0: getattr(kernel, "locs_stdev", None)
+        if variant == "mh"
+        else kernel.locs_step,
+        1: getattr(kernel, "fluxes_stdev", None)
+        if variant == "mh"
+        else kernel.fluxes_step,
         # clamped into the flux prior's support: the kernel uses this both
         # as the proposal truncation bound and as the masked-slot
         # placeholder flux, and a value outside support (default 0.0 with
@@ -599,7 +922,8 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
         6: prior.loc_high[0],
         7: prior.loc_high[1],
         8: model.adu_per_nmgy,
-        9: model.background,
+        # mean-scalarised: may be a per-tile map, unused by the kernel
+        9: jnp.mean(jnp.asarray(model.background)),
         10: model.noise_additive,
         11: model.noise_multiplicative,
         12: float(model.psf_radius),
@@ -689,7 +1013,7 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
         psf_kind="sdss" if is_sdss else "gaussian",
         flux_is_pareto=flux_is_pareto, flux_is_normal=flux_is_normal,
         dims=(T, CN + pad, M, H, W), child_axis=child_axis,
-        side_from_tag=side_from_tag,
+        side_from_tag=side_from_tag, variant=variant,
     )
     locs_out, fluxes_out, rate_out, pll_out, lp_out, acc, crate_o, cll_o = o
     # strip padding, restore batch shape
@@ -704,3 +1028,17 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
         cll_o = cll_o[:, :CN].reshape(batch)
     return (locs_out, fluxes_out, rate_out, pll_out, lp_out, acc,
             crate_o, cll_o)
+
+
+def pallas_mala_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
+                       parent_ll, logprior, block: int = 256):
+    """Run ``kernel.num_iters`` fused MALA sweeps (tile-level target).
+
+    Same input/output contract as ``pallas_mh_sweeps`` without the bridge
+    child caches; ``kernel`` is a ``SingleComponentMALA`` (its
+    ``locs_step`` / ``fluxes_step`` ride in the proposal-scale slots).
+    """
+    return pallas_mh_sweeps(
+        key, ctx, kernel, counts, locs, fluxes, rate, parent_ll, logprior,
+        block=block, variant="mala",
+    )

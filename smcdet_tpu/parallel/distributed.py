@@ -1,0 +1,88 @@
+"""Multi-host (multi-process) job parallelism.
+
+The reference shards long experiment runs across processes by hand with a
+``BATCH_INDEX`` environment variable per process
+(/root/reference/experiments/m71/run_mcmc.py:84-89). Here the same
+image-granularity job parallelism is first-class on top of
+``jax.distributed``: one controller process per host, the process group
+bootstrapped once, and the batch runner deriving its shard from
+``jax.process_index()`` / ``jax.process_count()``.
+
+Topology doctrine (SURVEY §2 parallelism table): tiles/particles shard
+over ICI *within* a host's chips (parallel/sharding.py); independent
+images/fields shard over DCN *across* hosts — no cross-host communication
+inside a sampler, so DCN bandwidth never touches the hot path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+__all__ = [
+    "initialize_distributed",
+    "is_distributed",
+    "host_shard",
+]
+
+_initialized = False
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    local_device_ids=None,
+) -> bool:
+    """Bootstrap the JAX process group (idempotent).
+
+    Arguments fall back to the standard env vars
+    (``JAX_COORDINATOR_ADDRESS``, ``JAX_NUM_PROCESSES``,
+    ``JAX_PROCESS_ID``) and from there to ``jax.distributed``'s own
+    cluster auto-detection. Returns True when a multi-process group was
+    initialized, False for the single-process no-op (so single-host runs
+    need no special-casing at call sites).
+    """
+    global _initialized
+    if _initialized:
+        return jax.process_count() > 1
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    if coordinator_address is None and num_processes is None:
+        # single-process run: nothing to bootstrap
+        return False
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    _initialized = True
+    return jax.process_count() > 1
+
+
+def is_distributed() -> bool:
+    return jax.process_count() > 1
+
+
+def host_shard(job_index: int = 0, num_jobs: int = 1) -> tuple[int, int]:
+    """Resolve the (job_index, num_jobs) shard for this process.
+
+    Explicit CLI sharding wins (the reference's BATCH_INDEX semantics);
+    otherwise, in a multi-process run each process takes its
+    ``process_index``-th shard automatically.
+    """
+    if num_jobs != 1:
+        return job_index, num_jobs
+    if jax.process_count() > 1:
+        return jax.process_index(), jax.process_count()
+    return job_index, num_jobs

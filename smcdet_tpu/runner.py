@@ -93,24 +93,36 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
     tile_model = model.replace(height=td, width=td)
 
     warmed = {"done": False}
+    replicates = getattr(cfg.sampler, "replicates", 1)
 
-    def run(key, imgs):
+    def run(key, imgs, bkgs=None):
         outs = []
         per_image_s = []
 
-        def process(i):
-            k_smc, k_agg = jax.random.split(jax.random.fold_in(key, i))
+        def process_once(i, r):
+            k_smc, k_agg = jax.random.split(
+                jax.random.fold_in(jax.random.fold_in(key, i), r)
+            )
+            model_i = (
+                tile_model
+                if bkgs is None
+                # per-image background map [h, w] (broadcasts against
+                # every particle batch; shape is constant so the jit
+                # cache is reused across images)
+                else tile_model.replace(background=bkgs[i])
+            )
             sampler = SMCSampler(
                 image=imgs[i],
                 tile_dim=td,
                 Prior=tile_prior,
-                ImageModel=tile_model,
+                ImageModel=model_i,
                 MutationKernel=kernel,
                 num_catalogs=smc_cfg.num_catalogs,
                 ess_threshold_prop=smc_cfg.ess_threshold_prop,
                 resample_method=smc_cfg.resample_method,
                 flux_detection_threshold=smc_cfg.flux_detection_threshold,
                 max_smc_iters=smc_cfg.max_smc_iters,
+                relocate_sweeps=smc_cfg.relocate_sweeps,
             )
             sampler.run(k_smc)
             agg = Aggregate.from_smc(
@@ -125,17 +137,16 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
             jax.block_until_ready(agg.state.counts)
             return agg
 
-        for i in range(imgs.shape[0]):
-            if not warmed["done"]:
-                # jit-compile the whole pipeline untimed so the first
-                # image's recorded runtime is steady-state, not compile
-                process(i)
-                warmed["done"] = True
-            start = time.perf_counter()
-            agg = process(i)
-            per_image_s.append(time.perf_counter() - start)
-            outs.append(
-                {
+        def process(i):
+            """One image: ``replicates`` independent runs pooled into one
+            particle set. log_z pools by log-mean-exp (the unbiasedness of
+            each run's per-count normalising-constant estimate is
+            preserved, with 1/R the variance), which directly de-noises
+            the count pmf softmax(log_z)."""
+            aggs = [process_once(i, r) for r in range(replicates)]
+            if replicates == 1:
+                agg = aggs[0]
+                return {
                     "counts": agg.state.counts[0, 0],
                     "locs": agg.state.locs[0, 0],
                     "fluxes": agg.state.fluxes[0, 0],
@@ -145,7 +156,36 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
                     "weights": agg.state.weights[0, 0],
                     "log_normalizing_constant": agg.state.log_z[0, 0],
                 }
+            cat = lambda f: jnp.concatenate(  # noqa: E731
+                [f(a) for a in aggs], axis=0
             )
+            from jax.scipy.special import logsumexp
+
+            log_z = logsumexp(
+                jnp.stack([a.state.log_z[0, 0] for a in aggs]), axis=0
+            ) - jnp.log(float(replicates))
+            return {
+                "counts": cat(lambda a: a.state.counts[0, 0]),
+                "locs": cat(lambda a: a.state.locs[0, 0]),
+                "fluxes": cat(lambda a: a.state.fluxes[0, 0]),
+                "pruned_counts": cat(lambda a: a.pruned_counts[0, 0]),
+                "pruned_locs": cat(lambda a: a.pruned_locs[0, 0]),
+                "pruned_fluxes": cat(lambda a: a.pruned_fluxes[0, 0]),
+                "weights": cat(lambda a: a.state.weights[0, 0])
+                / float(replicates),
+                "log_normalizing_constant": log_z,
+            }
+
+        for i in range(imgs.shape[0]):
+            if not warmed["done"]:
+                # jit-compile the whole pipeline untimed so the first
+                # image's recorded runtime is steady-state, not compile
+                process_once(i, 0)
+                warmed["done"] = True
+            start = time.perf_counter()
+            out = process(i)
+            per_image_s.append(time.perf_counter() - start)
+            outs.append(out)
         stacked = {
             k: jnp.stack([o[k] for o in outs]) for k in outs[0]
         }
@@ -169,8 +209,14 @@ def run_experiment(
     batches, saving ``{output_dir}/{name}/{method}_batch{b:04d}.npz``.
 
     Batches are distributed round-robin over ``num_jobs`` jobs; existing
-    artifacts are skipped (resume).
+    artifacts are skipped (resume). In a multi-process (multi-host) run
+    with no explicit ``num_jobs``, each process automatically takes its
+    ``jax.process_index()``-th shard (parallel/distributed.py — the
+    reference's BATCH_INDEX pattern, run_mcmc.py:84-89, made automatic).
     """
+    from smcdet_tpu.parallel.distributed import host_shard
+
+    job_index, num_jobs = host_shard(job_index, num_jobs)
     out_dir = Path(cfg.output_dir) / cfg.name
     out_dir.mkdir(parents=True, exist_ok=True)
 
@@ -183,6 +229,15 @@ def run_experiment(
     model = build_image_model(cfg.image_model)
     kernel = build_kernel(cfg.kernel)
 
+    backgrounds = None
+    if cfg.use_tile_backgrounds:
+        if "background" not in tiles:
+            raise ValueError(
+                "use_tile_backgrounds=True but the tiles artifact has no "
+                "'background' maps — run the experiment's prepare step"
+            )
+        backgrounds = jnp.asarray(tiles["background"], dtype=jnp.float32)
+
     if method == "smc":
         smc_cfg = SMCConfig(
             num_catalogs=cfg.sampler.num_catalogs,
@@ -190,6 +245,7 @@ def run_experiment(
             resample_method=cfg.sampler.resample_method,
             max_smc_iters=cfg.sampler.max_smc_iters,
             flux_detection_threshold=cfg.sampler.flux_detection_threshold,
+            relocate_sweeps=cfg.sampler.relocate_sweeps,
         )
         if cfg.aggregation.enabled:
             run = _make_smc_aggregate_runner(
@@ -198,11 +254,16 @@ def run_experiment(
         else:
             from smcdet_tpu.inference.smc import run_csmc_chunked
 
+            if backgrounds is not None:
+                raise ValueError(
+                    "per-tile backgrounds require the per-image pipeline "
+                    "(aggregation.enabled: true)"
+                )
             # memory-aware: a batch whose rate caches exceed the device
             # budget is processed in sequential tile chunks (exact — tiles
             # are independent)
             jitted = jax.jit(run_csmc)
-            run = lambda key, imgs: run_csmc_chunked(  # noqa: E731
+            run = lambda key, imgs, bkgs=None: run_csmc_chunked(  # noqa: E731
                 key, imgs, prior, model, kernel, smc_cfg, run=jitted
             )
     elif method == "mcmc":
@@ -228,9 +289,15 @@ def run_experiment(
                 locs_step=jnp.float32(cfg.mcmc.locs_stdev),
                 fluxes_step=jnp.float32(cfg.mcmc.fluxes_stdev),
             )
-        run = jax.jit(
-            lambda key, imgs: run_mh(key, imgs, prior, model, mh_kernel, mc_cfg)
-        )
+
+        @jax.jit
+        def run(key, imgs, bkgs=None):
+            # per-tile backgrounds ride as [T, 1, h, w] so they broadcast
+            # against the per-chain particle axis
+            m = model if bkgs is None else model.replace(
+                background=bkgs[:, None]
+            )
+            return run_mh(key, imgs, prior, m, mh_kernel, mc_cfg)
     else:
         raise ValueError(f"unknown method {method!r}")
 
@@ -247,7 +314,11 @@ def run_experiment(
         key = jax.random.fold_in(jax.random.key(cfg.seed), b)
 
         start = time.perf_counter()
-        result = run(key, images[lo:hi])
+        result = run(
+            key,
+            images[lo:hi],
+            None if backgrounds is None else backgrounds[lo:hi],
+        )
         jax.block_until_ready(result)
         runtime = time.perf_counter() - start
 

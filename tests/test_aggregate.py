@@ -364,3 +364,55 @@ class TestBrightSeamStar:
         w = np.asarray(agg.state.weights[0, 0])
         pmf = {int(c): float(w[pc == c].sum()) for c in np.unique(pc)}
         assert max(pmf, key=pmf.get) == 2, pmf
+
+
+@pytest.mark.slow
+class TestMeshShardedAggregate:
+    def test_sharded_matches_single_device(self):
+        """The merge tree under a tile-grid mesh sharding must reproduce
+        the single-device run (VERDICT r2 task 2): level 0 shards Th (the
+        axis-0 pairwise join is a neighbour exchange), level 1 shards Tw
+        (fully local join), with XLA inserting the collectives."""
+        if len(jax.devices()) < 2:
+            pytest.skip("needs >= 2 devices")
+        prior, model, kernel = make_setup()
+        full_model = model.replace(height=16, width=16)
+        image = full_model.sample(
+            jax.random.key(9),
+            jnp.asarray(TRUE_LOCS),
+            jnp.asarray(TRUE_FLUXES),
+        )
+        sampler = SMCSampler(
+            image=image,
+            tile_dim=8,
+            Prior=prior,
+            ImageModel=model,
+            MutationKernel=kernel,
+            num_catalogs=192,
+            flux_detection_threshold=600.0,
+            max_smc_iters=50,
+            resample_method="systematic",
+        )
+        sampler.run(jax.random.key(1))
+
+        single = Aggregate.from_smc(sampler)
+        single.run(jax.random.key(2))
+        sharded = Aggregate.from_smc(sampler)
+        sharded.run(jax.random.key(2), devices=jax.devices()[:2])
+
+        for ds, dm in zip(single.diagnostics, sharded.diagnostics):
+            np.testing.assert_allclose(
+                ds["temperature"], dm["temperature"], rtol=1e-5
+            )
+            assert int(ds["iterations"]) == int(dm["iterations"])
+        np.testing.assert_allclose(
+            np.asarray(single.state.log_z),
+            np.asarray(sharded.state.log_z),
+            rtol=1e-4,
+            atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(single.posterior_mean_count()),
+            np.asarray(sharded.posterior_mean_count()),
+            atol=1e-3,
+        )

@@ -201,3 +201,153 @@ class TestFusedBridgeOnTPU:
             fluxes[backend] = float(agg.posterior_mean_total_flux()[0, 0])
         # same posterior within MC tolerance (truth: 6600)
         assert abs(fluxes["xla"] - fluxes["pallas"]) < 0.05 * 6600.0, fluxes
+
+
+@requires_tpu
+class TestFusedMALAOnTPU:
+    """The fused MALA kernel (analytic slot gradients) vs the jax.grad
+    XLA path: same stationary behaviour, consistent caches."""
+
+    @pytest.mark.parametrize("noise", ["gaussian", "poisson"])
+    def test_matches_xla_equilibrium(self, noise):
+        from smcdet_tpu.inference.kernels import SingleComponentMALA
+
+        helper = TestFusedSweepOnTPU()
+        kernel_mh, ctx, counts, locs, fluxes, model, prior, images = (
+            helper._setup(noise)
+        )
+        if noise == "gaussian":
+            steps = dict(locs_step=jnp.float32(0.12),
+                         fluxes_step=jnp.float32(2.0))
+        else:
+            steps = dict(locs_step=jnp.float32(0.12),
+                         fluxes_step=jnp.float32(25.0))
+        kx = SingleComponentMALA(
+            num_iters=40,
+            fluxes_min=kernel_mh.fluxes_min,
+            fluxes_max=kernel_mh.fluxes_max,
+            backend="xla",
+            **steps,
+        )
+        kp = kx.replace(backend="pallas")
+        stx, accx = jax.jit(
+            lambda k, l, f: kx.run(k, ctx, counts, l, f)
+        )(jax.random.key(5), locs, fluxes)
+        stp, accp = jax.jit(
+            lambda k, l, f: kp.run(k, ctx, counts, l, f)
+        )(jax.random.key(5), locs, fluxes)
+
+        # both move and accept at comparable rates (drifted proposals)
+        assert float(accp.mean()) > 0.05
+        assert abs(float(accp.mean()) - float(accx.mean())) < 0.15
+
+        # tempered-target quantiles agree (statistical equivalence)
+        ltx = np.asarray(stx.logprior + 0.8 * stx.parent_ll).ravel()
+        ltp = np.asarray(stp.logprior + 0.8 * stp.parent_ll).ravel()
+        for q in (25, 50, 75):
+            a, b = np.percentile(ltx, q), np.percentile(ltp, q)
+            assert abs(a - b) <= 0.05 * abs(a) + 5.0, (q, a, b)
+
+        # caches remain consistent with full recomputation
+        pll = model.loglikelihood(ctx.image, stp.locs, stp.fluxes)
+        drift = np.abs(np.asarray(pll - stp.parent_ll))
+        scale = np.maximum(np.abs(np.asarray(pll)), 1.0)
+        assert (drift / scale).max() < 2e-3
+        lp = prior.log_prob(counts, stp.locs, stp.fluxes)
+        assert np.abs(np.asarray(lp - stp.logprior)).max() < 0.01
+
+    def test_analytic_gradient_matches_autodiff(self):
+        """The closed-form slot gradient the kernel implements must equal
+        jax.grad of the XLA slot target (checked on CPU-side math with the
+        same formulas, batch of random states)."""
+        from smcdet_tpu.inference.kernels import (
+            SingleComponentMALA,
+            init_kernel_state,
+        )
+
+        helper = TestFusedSweepOnTPU()
+        _, ctx, counts, locs, fluxes, model, prior, _ = helper._setup(
+            "gaussian"
+        )
+        kernel = SingleComponentMALA(
+            num_iters=1, locs_step=jnp.float32(0.1),
+            fluxes_step=jnp.float32(2.0),
+            fluxes_min=jnp.float32(0.252), fluxes_max=jnp.float32(1804.679),
+        )
+        st = init_kernel_state(ctx, counts, locs, fluxes)
+        j = jnp.zeros(counts.shape, dtype=jnp.int32)
+        active = j < counts
+        onehot = jnp.arange(fluxes.shape[-1]) == j[..., None]
+        from smcdet_tpu.inference.kernels import _take_slot
+
+        loc_j = _take_slot(locs, onehot)
+        f_j = _take_slot(fluxes, onehot)
+        eff = jnp.asarray(model.adu_per_nmgy)
+        old_img, _ = ctx.star_images(loc_j, None)
+        a = active[..., None]
+        rate_wo = st.rate - jnp.where(a, eff * f_j[..., None] * old_img, 0.0)
+        ref_pt = prior.flux.reference_point
+        safe = jnp.where(active, f_j, ref_pt)
+        logprior_wo = st.logprior - jnp.where(
+            active, prior.flux.log_prob(safe), 0.0
+        )
+        base = (rate_wo, None, logprior_wo)
+
+        grad_fn = jax.grad(
+            kernel._slot_target, argnums=(3, 4), has_aux=True
+        )
+        (gl_auto, gf_auto), _ = grad_fn(ctx, base, active, loc_j, f_j, None)
+
+        # analytic replica (the formulas _make_mala_kernel implements)
+        tau = ctx.temperature
+        var = jnp.asarray(model.noise_additive) + jnp.asarray(
+            model.noise_multiplicative
+        ) * st.rate
+        img_flat = ctx.image_flat
+        r = img_flat - st.rate
+        mult = jnp.asarray(model.noise_multiplicative)
+        dll = r / var + 0.5 * r * r * mult / var**2 - 0.5 * mult / var
+        psf = model.psf
+        H, W = model.height, model.width
+        p = jnp.arange(H * W)
+        h = (p // W) + 0.5
+        w = (p % W) + 0.5
+        dy = h - loc_j[..., 0:1]
+        dx = w - loc_j[..., 1:2]
+        in_h = jnp.abs(h - 0.5 - jnp.floor(loc_j[..., 0:1])) <= model.psf_radius
+        in_w = jnp.abs(w - 0.5 - jnp.floor(loc_j[..., 1:2])) <= model.psf_radius
+        mask = (in_h & in_w).astype(jnp.float32)
+        r2 = dy * dy + dx * dx
+        s1, s2, sp, beta, bb, p0 = (
+            psf.sigma1, psf.sigma2, psf.sigmap, psf.beta, psf.b, psf.p0
+        )
+        norm = (1.0 + bb + p0) * psf.normalizing_constant
+        t1 = jnp.exp(-r2 / (2 * s1))
+        t2 = bb * jnp.exp(-r2 / (2 * s2))
+        t3 = p0 * (1.0 + r2 / (beta * sp)) ** (-beta / 2.0)
+        psi = (t1 + t2 + t3) / norm * mask
+        dpsi = (
+            t1 * (-1.0 / (2 * s1))
+            + t2 * (-1.0 / (2 * s2))
+            + t3 * (-0.5) / (sp + r2 / beta)
+        ) / norm * mask
+        aeff = active[..., None].astype(jnp.float32) * eff
+        g = tau[..., None] * dll
+        gly = (g * dpsi * (-2.0 * dy)).sum(-1) * aeff[..., 0] * f_j
+        glx = (g * dpsi * (-2.0 * dx)).sum(-1) * aeff[..., 0] * f_j
+        # truncated-Pareto flux prior: d/df log p = -(alpha + 1) / f
+        flux_grad = -(jnp.asarray(prior.flux.alpha) + 1.0) / safe
+        gf = (g * psi).sum(-1) * aeff[..., 0] + jnp.where(
+            active, flux_grad, 0.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(gly), np.asarray(gl_auto[..., 0]), rtol=2e-2,
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(glx), np.asarray(gl_auto[..., 1]), rtol=2e-2,
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gf_auto), rtol=2e-2, atol=2e-4
+        )

@@ -133,7 +133,9 @@ def build_data_dir(tmp_path):
     # Hubble .zpt: 3 header lines, then >=23 whitespace columns with
     # col 9 = V mag, cols 21/22 = RA/DEC (prepare_data.py usecols).
     wcs = TanWCS.from_header(WCS_CARDS)
-    ra, dec = wcs.pix2world(all_cols, all_rows)
+    # rows/cols are model-locs (pixel centres at +0.5); pix2world takes
+    # FITS pixel indices and plocs_from_ra_dec re-adds the 0.5
+    ra, dec = wcs.pix2world(all_cols - 0.5, all_rows - 0.5)
     table = np.zeros((all_rows.shape[0], 23))
     table[:, 9] = all_mags
     table[:, 21] = ra

@@ -187,3 +187,16 @@ class TestAggregationRunner:
         assert res["locs"].shape[-2] >= 3
         w = res["weights"]
         np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-4)
+
+        # pooled replicates (VERDICT r2 task 7): R independent runs per
+        # image concatenate to an R-times particle set with normalised
+        # weights and a log-mean-exp'd log_z
+        cfg.sampler.replicates = 2
+        cfg.name = "dnc_pooled"
+        out2 = run_experiment(cfg, method="smc")
+        res2 = load_results(out2, "smc")
+        assert res2["counts"].shape[-1] == 2 * res["counts"].shape[-1]
+        np.testing.assert_allclose(
+            res2["weights"].sum(-1), 1.0, rtol=1e-4
+        )
+        assert np.isfinite(res2["log_normalizing_constant"]).all()

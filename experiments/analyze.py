@@ -86,7 +86,16 @@ def main():
     parser.add_argument("--no-figures", action="store_true")
     args = parser.parse_args()
 
+    import os
+
     import jax
+
+    # Analysis-scale matching (hundreds of tiles) runs in seconds on CPU;
+    # on the tunneled TPU the Hungarian batch costs a many-minute compile
+    # and has crashed the remote worker at full experiment size. Opt back
+    # in with SMCDET_ANALYZE_TPU=1.
+    if os.environ.get("SMCDET_ANALYZE_TPU") != "1":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from smcdet_tpu.metrics import compute_precision_recall_f1, match_catalogs

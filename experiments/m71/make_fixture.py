@@ -152,6 +152,24 @@ def main():
         return rows, cols, fluxes
 
     reg = draw_field(REGION_Y0, REGION_X0, REGION_H, REGION_W)
+    # a handful of genuine giants above the truncated-Pareto support
+    # (real M71 has mag < 14 giants; they drive the reference's
+    # saturation-with-neighbors tile masking, m71.ipynb cell 21). Two
+    # clusters, like the real core concentration — scattering them would
+    # let the 7x7 dilation wipe most of the grid.
+    n_giants = 4
+    centers = np.asarray([[REGION_Y0 + 70.0, REGION_X0 + 50.0],
+                          [REGION_Y0 + 240.0, REGION_X0 + 105.0]])
+    g_rows = np.repeat(centers[:, 0], 2) + rng.uniform(-9, 9, n_giants)
+    g_cols = np.repeat(centers[:, 1], 2) + rng.uniform(-9, 9, n_giants)
+    g_flux = np.exp(
+        rng.uniform(np.log(2600.0), np.log(20000.0), n_giants)
+    )  # mag ~ 11.7 .. 14.0
+    reg = (
+        np.concatenate([reg[0], g_rows]),
+        np.concatenate([reg[1], g_cols]),
+        np.concatenate([reg[2], g_flux]),
+    )
     # pad ring around the region so tiles at the region boundary see
     # neighbour photons exactly like interior ones (pad = 4 px)
     ring = []

@@ -119,8 +119,7 @@ def main():
 
     grid_h, grid_w = np.meshgrid(np.arange(th), np.arange(tw), indexing="ij")
     checker = ((grid_h + grid_w) % 2 == 0).reshape(-1)
-    saturated = tiles_flat.max((-2, -1)) > SATURATION_ADU
-    keep = ~saturated
+    saturated_px = tiles_flat.max((-2, -1)) > SATURATION_ADU
 
     in_region = (
         (locs_all[:, 0] >= REGION_Y0)
@@ -143,6 +142,35 @@ def main():
             true_locs[t, m] = (r % TILE, c % TILE)
             true_fluxes[t, m] = fluxes_region[i]
             true_counts[t] += 1
+
+    # Saturation masking (m71.ipynb cells 21-23): a tile is saturated iff
+    # its truth catalog holds a star brighter than mag 14 (the SDSS
+    # saturation limit — the reference's rule is catalog-based, not
+    # pixel-based); the mask is then dilated with a 7x7 tile-grid kernel
+    # so every tile within 3 tiles of a bright star is dropped —
+    # bright-star spill contaminates neighbours far beyond the source
+    # tile.
+    bright_flux = 10 ** ((22.5 - 14.0) / 2.5)
+    has_bright = np.zeros(th * tw, dtype=bool)
+    for i, (r, c) in enumerate(zip(locs_region[:, 0], locs_region[:, 1])):
+        if fluxes_region[i] > bright_flux:
+            has_bright[int(r // TILE) * tw + int(c // TILE)] = True
+    sat_grid = has_bright.reshape(th, tw)
+    dil = np.zeros_like(sat_grid)
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            src = sat_grid[
+                max(0, -dy) : th - max(0, dy), max(0, -dx) : tw - max(0, dx)
+            ]
+            dil[
+                max(0, dy) : th - max(0, -dy), max(0, dx) : tw - max(0, -dx)
+            ] |= src
+    keep = ~dil.reshape(-1)
+    print(
+        f"saturation: {int(sat_grid.sum())} tiles (mag<14), "
+        f"{int(saturated_px.sum())} pixel-saturated -> "
+        f"{int(dil.sum())} with neighbors; {int(keep.sum())} of {th * tw} kept"
+    )
 
     # per-tile padded-region catalogs: every star within the tile's padded
     # window [-pad, TILE+pad)^2 in padded-local coords — the "unpruned"
@@ -170,12 +198,27 @@ def main():
     # ------------------------------------------------------------------
     # 3. hyperparameter fitting
     # ------------------------------------------------------------------
-    alpha, f_lower, f_upper = fit_truncated_pareto_flux(fluxes_region)
+    # Hyperparameters are fitted on the train/tune checkerboard half only
+    # (m71.ipynb cells 29, 49-51 restrict to ~checkerboard_mask), keeping
+    # the eval half untouched by any fitting.
+    tune = keep & checker
+    tune_star = np.zeros(locs_region.shape[0], dtype=bool)
+    for i, (r, c) in enumerate(zip(locs_region[:, 0], locs_region[:, 1])):
+        tune_star[i] = tune[int(r // TILE) * tw + int(c // TILE)]
+    # giants above SDSS saturation are masked out, not modeled: exclude
+    # them from the flux-prior fit and pin the truncation point at the
+    # saturation limit (the modeled population is sub-saturation stars;
+    # the tune-half sample maximum would under-shoot the support by
+    # orders of magnitude under the alpha ~ 0.2 tail)
+    fit_fluxes = fluxes_region[tune_star & (fluxes_region < bright_flux)]
+    alpha, f_lower, f_upper = fit_truncated_pareto_flux(
+        fit_fluxes, upper=bright_flux
+    )
     # Per-PIXEL density from in-tile counts over the in-tile area
     # (m71.ipynb cell 51 divides by tile_dim^2); the prior then scales by
     # the padded area (models/priors.py:306). Dividing by the padded area
     # here would double-count the pad and underestimate the density 4x.
-    counts_rate = fit_poisson_rate(true_counts[keep], area=TILE**2)
+    counts_rate = fit_poisson_rate(true_counts[tune], area=TILE**2)
 
     gain = float(np.mean(item["gain"][RBAND]))
     adu_per_nmgy0 = float(np.mean(item["flux_calibration"][RBAND]))

@@ -31,7 +31,9 @@ for s in $STAGES; do
     m71_analyze_mcmc)
       run m71_analyze_mcmc bash -c "cd '$REPO/experiments/m71' && python ../analyze.py output/m71 --method mcmc" ;;
     semi_gen)
-      run semi_gen bash -c "cd '$REPO/experiments/m71semisynthetic' && python generate_images.py" ;;
+      # round-2 artifacts are stale (scalar background, max_objects 6):
+      # clear them or the runner's resume would skip every batch
+      run semi_gen bash -c "cd '$REPO/experiments/m71semisynthetic' && rm -f output/m71semisynthetic/smc_batch*.npz output/m71semisynthetic/mcmc_batch*.npz output/m71semisynthetic/sep_results.npz && python generate_images.py" ;;
     semi_smc)
       run semi_smc bash -c "cd '$REPO/experiments/m71semisynthetic' && python run_smc.py" ;;
     semi_sep)

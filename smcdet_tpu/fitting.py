@@ -47,12 +47,19 @@ def fit_truncated_pareto_flux(fluxes, lower=None, upper=None):
     fluxes = np.asarray(fluxes, dtype=np.float64)
     fluxes = fluxes[fluxes > 0]
     lower = float(fluxes.min()) if lower is None else float(lower)
-    upper = float(fluxes.max()) if upper is None else float(upper)
     # scipy's truncpareto: pdf(x, b, c) ~ x^{-b-1} on [1, c], scaled
+    if upper is None:
+        b, c, loc, scale = truncpareto.fit(fluxes, floc=0.0, fscale=lower)
+        return float(b), lower, float(c * lower)
+    # fixed truncation point (e.g. the saturation limit): only the shape
+    # is free. With a heavy tail (alpha ~ 0.2) the sample maximum is a
+    # terrible upper-bound estimator — it fluctuates by orders of
+    # magnitude between checkerboard halves.
+    upper = float(upper)
     b, c, loc, scale = truncpareto.fit(
-        fluxes, floc=0.0, fscale=lower
+        fluxes, fc=upper / lower, floc=0.0, fscale=lower
     )
-    return float(b), lower, float(c * lower)
+    return float(b), lower, upper
 
 
 def fit_poisson_rate(counts, area):

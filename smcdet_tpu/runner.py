@@ -221,6 +221,12 @@ def run_experiment(
     out_dir.mkdir(parents=True, exist_ok=True)
 
     tiles = _load_tiles(cfg)
+    # cfg.num_images caps file-loaded tile sets too (simulated sets are
+    # already generated at that size)
+    tiles = {
+        k: v[: cfg.num_images] if getattr(v, "ndim", 0) >= 1 else v
+        for k, v in tiles.items()
+    }
     images = jnp.asarray(tiles["images"], dtype=jnp.float32)
     num_images = images.shape[0]
     num_batches = -(-num_images // cfg.batch_size)
@@ -313,17 +319,36 @@ def run_experiment(
         lo, hi = b * cfg.batch_size, min((b + 1) * cfg.batch_size, num_images)
         key = jax.random.fold_in(jax.random.key(cfg.seed), b)
 
+        # pad a ragged final batch up to batch_size (duplicating the last
+        # image) and slice the results back: a smaller last batch would
+        # trigger a fresh XLA compile of the whole batched program —
+        # ~20 min over a TPU tunnel vs seconds of duplicate compute
+        n_real = hi - lo
+        imgs_b = images[lo:hi]
+        bkgs_b = None if backgrounds is None else backgrounds[lo:hi]
+        if n_real < cfg.batch_size:
+            pad = cfg.batch_size - n_real
+            imgs_b = jnp.concatenate(
+                [imgs_b, jnp.broadcast_to(imgs_b[-1:], (pad,) + imgs_b.shape[1:])]
+            )
+            if bkgs_b is not None:
+                bkgs_b = jnp.concatenate(
+                    [bkgs_b,
+                     jnp.broadcast_to(bkgs_b[-1:], (pad,) + bkgs_b.shape[1:])]
+                )
+
         start = time.perf_counter()
-        result = run(
-            key,
-            images[lo:hi],
-            None if backgrounds is None else backgrounds[lo:hi],
-        )
+        result = run(key, imgs_b, bkgs_b)
         jax.block_until_ready(result)
         runtime = time.perf_counter() - start
 
         arrays = {
-            f: np.asarray(getattr(result, f))
+            f: (
+                np.asarray(getattr(result, f))[:n_real]
+                if getattr(getattr(result, f), "ndim", 0) >= 1
+                and getattr(result, f).shape[0] == cfg.batch_size
+                else np.asarray(getattr(result, f))
+            )
             for f in result._fields
             if getattr(result, f) is not None
         }

@@ -416,3 +416,26 @@ class TestMeshShardedAggregate:
             np.asarray(sharded.posterior_mean_count()),
             atol=1e-3,
         )
+
+
+class TestLevelShardingFactorization:
+    def test_factors_maximize_device_use(self):
+        devs = jax.devices()[:8] if len(jax.devices()) >= 8 else None
+        if devs is None:
+            pytest.skip("needs 8 virtual devices")
+        sh = Aggregate._level_sharding
+
+        def used(Th, Tw):
+            s = sh(devs, Th, Tw)
+            mesh = s.mesh
+            a = mesh.shape["th"]
+            b = mesh.shape["tw"]
+            assert Th % a == 0 and Tw % b == 0
+            return a * b
+
+        assert used(8, 8) == 8  # 8x1 or factorization covering all
+        assert used(4, 4) == 8  # 2x4 over both grid axes
+        assert used(2, 4) == 8
+        assert used(2, 2) == 4  # max the grid allows; 2 spare replicate
+        assert used(1, 2) == 2
+        assert used(1, 1) == 1  # top of the tree: replicated

@@ -317,13 +317,19 @@ def apply_fitted_params(cfg: ExperimentConfig, params: dict) -> None:
         )
 
 
-def load_config(path) -> ExperimentConfig:
+def load_config(path, apply_params: bool = True) -> ExperimentConfig:
+    """Load an ExperimentConfig from YAML.
+
+    ``apply_params=False`` skips the fitted-params overlay
+    (``params_path``), leaving the literal config values — used by
+    oracle-hyperparameter attribution runs.
+    """
     import yaml
 
     with open(path) as f:
         d = yaml.safe_load(f)
     cfg = _from_dict(ExperimentConfig, d)
-    if cfg.params_path is not None:
+    if apply_params and cfg.params_path is not None:
         # relative to the config file's directory first, then the cwd
         candidates = [
             Path(path).parent / cfg.params_path,

@@ -184,6 +184,19 @@ def main():
     sep_path = out_dir / "sep_results.npz"
     if sep_path.exists():
         sep = np.load(sep_path)
+        if "eval_true_counts" not in sep:
+            # artifact predates the embedded eval-tile truth: skip the
+            # baseline comparison rather than crash the whole analysis
+            print(
+                f"warning: {sep_path} has no eval_true_* arrays "
+                "(pre-update artifact) — re-run run_sep.py for the "
+                "baseline comparison; skipping it",
+                file=sys.stderr,
+            )
+            sep = None
+    else:
+        sep = None
+    if sep is not None:
         ns = sep["counts"].shape[0]
         # truth for the evaluated tiles rides in the SEP artifact itself
         # (detect/baseline.py), valid for both the checkerboard and the

@@ -26,7 +26,10 @@ if _cache_dir:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 from smcdet_tpu.config import load_config
-from smcdet_tpu.runner import run_experiment, simulate_tiles
+
+# NOTE: smcdet_tpu.runner is imported inside the CLI functions, not here:
+# importing it initializes the XLA backend, after which
+# jax.distributed.initialize() (the --distributed path) refuses to run.
 
 
 def experiment_config(script_path):
@@ -48,9 +51,12 @@ def run_cli(script_path, method: str):
     args = parser.parse_args()
 
     if args.distributed:
+        # must precede the runner import (which initializes the backend)
         from smcdet_tpu.parallel.distributed import initialize_distributed
 
-        initialize_distributed()
+        initialize_distributed(require=True)
+
+    from smcdet_tpu.runner import run_experiment
 
     cfg = experiment_config(script_path)
     if args.num_images is not None:
@@ -74,6 +80,8 @@ def generate_cli(script_path):
     cfg = experiment_config(script_path)
     if args.num_images is not None:
         cfg.num_images = args.num_images
+    from smcdet_tpu.runner import simulate_tiles
+
     tiles = simulate_tiles(cfg)
     out_dir = Path(cfg.output_dir) / cfg.name
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -156,15 +156,9 @@ def main():
         if fluxes_region[i] > bright_flux:
             has_bright[int(r // TILE) * tw + int(c // TILE)] = True
     sat_grid = has_bright.reshape(th, tw)
-    dil = np.zeros_like(sat_grid)
-    for dy in range(-3, 4):
-        for dx in range(-3, 4):
-            src = sat_grid[
-                max(0, -dy) : th - max(0, dy), max(0, -dx) : tw - max(0, dx)
-            ]
-            dil[
-                max(0, dy) : th - max(0, -dy), max(0, dx) : tw - max(0, -dx)
-            ] |= src
+    from scipy.ndimage import binary_dilation
+
+    dil = binary_dilation(sat_grid, np.ones((7, 7), dtype=bool))
     keep = ~dil.reshape(-1)
     print(
         f"saturation: {int(sat_grid.sum())} tiles (mag<14), "

@@ -494,19 +494,45 @@ def run_csmc_chunked(
     )
     if run is None:
         run = jax.jit(run_csmc)
-    if T <= chunk and T % multiple == 0:
+    if T <= chunk and T % multiple == 0 and not hasattr(run, "lower"):
+        # not inspectable: trust the analytic estimate and run whole
         return run(key, images, prior, model, kernel, cfg)
+
+    def pad_tiles(imgs, n):
+        # repeat the last tile so every chunk shares one compiled shape
+        if n <= imgs.shape[0]:
+            return imgs[:n]
+        return jnp.concatenate(
+            [imgs, jnp.broadcast_to(imgs[-1:], (n - imgs.shape[0],) + imgs.shape[1:])]
+        )
+
+    # a per-tile background map ([T, ...] leading axis) must be chunked
+    # in lockstep with the tile axis of ``images``
+    bg = jnp.asarray(model.background)
+    per_tile_bg = bg.ndim >= 3 and bg.shape[0] == T
+
+    def model_for(bg_slice):
+        return model.replace(background=bg_slice) if per_tile_bg else model
+
     n_chunks = max(1, -(-T // chunk))
     size = -(-T // n_chunks)
     size = -(-size // multiple) * multiple
 
     # measured-memory feedback: compile once at the chosen size, verify
-    # against the budget, shrink if XLA's actual temp allocation exceeds it
+    # against the budget, shrink if XLA's actual temp allocation exceeds
+    # it. This also covers the fits-in-one-chunk case — the scenario the
+    # analytic model got wrong historically. The probe is padded to
+    # ``size`` so the lowered shape matches the padded chunks fed later.
     exec_run = run
     if hasattr(run, "lower"):
         while True:
             compiled = run.lower(
-                key, images[:size], prior, model, kernel, cfg
+                key,
+                pad_tiles(images, size),
+                prior,
+                model_for(pad_tiles(bg, size) if per_tile_bg else None),
+                kernel,
+                cfg,
             ).compile()
             live = compiled_live_bytes(compiled)
             if live is None or live <= budget_bytes or size <= multiple:
@@ -522,17 +548,16 @@ def run_csmc_chunked(
     # chunk would trigger a second XLA compile (minutes over a TPU
     # tunnel), far costlier than computing a few duplicate tiles
     T_pad = n_chunks * size
-    if T_pad > T:
-        images = jnp.concatenate(
-            [images, jnp.broadcast_to(images[-1:], (T_pad - T,) + images.shape[1:])]
-        )
+    images = pad_tiles(images, T_pad)
+    if per_tile_bg:
+        bg = pad_tiles(bg, T_pad)
     parts = []
     for i in range(0, T_pad, size):
         part = exec_run(
             jax.random.fold_in(key, i),
             images[i : i + size],
             prior,
-            model,
+            model_for(bg[i : i + size] if per_tile_bg else None),
             kernel,
             cfg,
         )

@@ -122,13 +122,27 @@ def stratified_indices(key, weights, strata, num_strata: int, method: str):
     batch = weights.shape[:-1]
     smask = strata[..., None, :] == jnp.arange(num_strata)[:, None]
     w_strat = jnp.where(smask, weights[..., None, :], 0.0)  # [..., C, N]
-    total = jnp.maximum(w_strat.sum(-1, keepdims=True), 1e-37)
-    p = w_strat / total
+    total = w_strat.sum(-1, keepdims=True)
+    members = smask.sum(-1, keepdims=True)  # [..., C, 1]
+    # a stratum whose weights all underflow to 0 falls back to uniform
+    # over its members — a flat zero CDF would otherwise send every query
+    # to an out-of-stratum extreme index
+    uniform = smask.astype(w_strat.dtype) / jnp.maximum(members, 1)
+    p = jnp.where(
+        total > 0.0, w_strat / jnp.maximum(total, 1e-37), uniform
+    )
 
     strata_row = strata[..., None, :]  # [..., 1, N] for the C-axis gather
+    # member-range clamp per stratum: u == 0.0 exactly (jax.random.uniform
+    # includes 0) would otherwise return index 0 regardless of membership
+    first = jnp.argmax(smask, axis=-1)  # [..., C]
+    last = N - 1 - jnp.argmax(jnp.flip(smask, axis=-1), axis=-1)
+    lo = jnp.take_along_axis(first, strata, axis=-1)  # [..., N]
+    hi = jnp.take_along_axis(last, strata, axis=-1)
     if method == "multinomial":
         idx_full = multinomial_indices(key, p, N)  # [..., C, N]
-        return jnp.take_along_axis(idx_full, strata_row, axis=-2)[..., 0, :]
+        idx = jnp.take_along_axis(idx_full, strata_row, axis=-2)[..., 0, :]
+        return jnp.clip(idx, lo, hi).astype(jnp.int32)
     if method != "systematic":
         raise ValueError("resample_method must be multinomial or systematic")
 
@@ -144,7 +158,7 @@ def stratified_indices(key, weights, strata, num_strata: int, method: str):
     # own stratum's row
     counts = _searchsorted_batched(cdf, u[..., None, :])  # [..., C, N]
     idx = jnp.take_along_axis(counts, strata_row, axis=-2)[..., 0, :]
-    return jnp.clip(idx, 0, N - 1).astype(jnp.int32)
+    return jnp.clip(idx, lo, hi).astype(jnp.int32)
 
 
 def gather_particles(idx, *arrays, particle_axis: int, chunk: int = 512):

@@ -34,15 +34,26 @@ def initialize_distributed(
     num_processes: int | None = None,
     process_id: int | None = None,
     local_device_ids=None,
+    require: bool = False,
 ) -> bool:
     """Bootstrap the JAX process group (idempotent).
 
+    Must run before anything initializes the XLA backend (JAX refuses
+    otherwise) — the CLI drivers call this before importing the runner.
+
     Arguments fall back to the standard env vars
     (``JAX_COORDINATOR_ADDRESS``, ``JAX_NUM_PROCESSES``,
-    ``JAX_PROCESS_ID``) and from there to ``jax.distributed``'s own
-    cluster auto-detection. Returns True when a multi-process group was
-    initialized, False for the single-process no-op (so single-host runs
-    need no special-casing at call sites).
+    ``JAX_PROCESS_ID``). With neither arguments nor env vars:
+
+    - ``require=False`` (library default): single-process no-op, returns
+      False — single-host runs need no special-casing at call sites;
+    - ``require=True`` (the ``--distributed`` CLI contract): attempt the
+      bare ``jax.distributed.initialize()``, which auto-detects the
+      cluster on TPU pods / managed environments and raises where it
+      cannot — never silently falls back to every process running the
+      full unsharded job against the same output paths.
+
+    Returns True when a multi-process group was initialized.
     """
     global _initialized
     if _initialized:
@@ -57,8 +68,12 @@ def initialize_distributed(
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
     if coordinator_address is None and num_processes is None:
-        # single-process run: nothing to bootstrap
-        return False
+        if not require:
+            # single-process run: nothing to bootstrap
+            return False
+        jax.distributed.initialize()  # cluster auto-detection, or raise
+        _initialized = True
+        return jax.process_count() > 1
 
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

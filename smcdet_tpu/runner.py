@@ -103,14 +103,24 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
             k_smc, k_agg = jax.random.split(
                 jax.random.fold_in(jax.random.fold_in(key, i), r)
             )
-            model_i = (
-                tile_model
-                if bkgs is None
-                # per-image background map [h, w] (broadcasts against
-                # every particle batch; shape is constant so the jit
-                # cache is reused across images)
-                else tile_model.replace(background=bkgs[i])
-            )
+            if bkgs is None:
+                model_i = tile_model
+            else:
+                # per-image background map, tiled exactly like the image
+                # (tile_image row-major order). Single-tile images keep
+                # the bare [h, w] map so the jit cache shape matches the
+                # scalar-background path; multi-tile images get a
+                # per-tile [T, 1, 1, h, w] map broadcasting over the
+                # [C, N] particle batch dims.
+                from smcdet_tpu.inference.smc import tile_image
+
+                th = imgs[i].shape[0] // td
+                tw = imgs[i].shape[1] // td
+                bmap = tile_image(jnp.asarray(bkgs[i]), th, tw, td)
+                model_i = tile_model.replace(
+                    background=bmap[0] if th * tw == 1
+                    else bmap[:, None, None]
+                )
             sampler = SMCSampler(
                 image=imgs[i],
                 tile_dim=td,

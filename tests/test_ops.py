@@ -96,6 +96,32 @@ class TestStratifiedResampling:
         frac_odd = (first % 2 == 1).mean()
         np.testing.assert_allclose(frac_odd, 0.75, atol=0.03)
 
+    def test_degenerate_strata_stay_in_stratum(self):
+        # Two documented edge cases: a stratum whose weights all
+        # underflow to exactly 0 (flat zero CDF), and the u == 0.0 corner
+        # (jax.random.uniform includes 0) — both used to escape to an
+        # out-of-stratum extreme index. The zero-weight stratum must fall
+        # back to uniform over its members.
+        strata, w, C = self._setup(seed=7, N=96, C=4)
+        w = jnp.where(strata == 2, 0.0, w)  # stratum 2: all-zero weights
+        s = np.asarray(strata)
+        for method in ("multinomial", "systematic"):
+            for k in range(20):
+                idx = np.asarray(
+                    stratified_indices(
+                        jax.random.key(100 + k), w, strata, C, method
+                    )
+                )
+                assert (s[idx] == s).all(), (method, k)
+        # uniform fallback actually spreads over the stratum's members
+        members2 = np.flatnonzero(s == 2)
+        idx = np.asarray(
+            stratified_indices(
+                jax.random.key(11), w, strata, C, "systematic"
+            )
+        )
+        assert len(np.unique(idx[s == 2])) > len(members2) // 2
+
     def test_batched(self):
         strata, w, C = self._setup(seed=5, N=32)
         strata_b = jnp.broadcast_to(strata, (2, 3, 32))

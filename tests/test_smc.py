@@ -452,6 +452,74 @@ class TestRunCSMCChunked:
         assert res.history["ess"].shape[1] == 3
 
 
+class TestChunkedLoweringShapes:
+    def test_lowerable_run_with_ragged_multiple(self):
+        # T=3 tiles, multiple=2, whole batch within one chunk: size
+        # rounds up to 4 > T, so the AOT probe must be padded to the
+        # chunk shape BEFORE lowering (lowering at images[:4] == shape 3
+        # used to compile an executable the padded chunks couldn't call).
+        from smcdet_tpu.inference.smc import run_csmc_chunked
+
+        prior, model, kernel = make_setup()
+        image, *_ = two_star_image()
+        images = jnp.stack([image, image, image])
+        cfg = SMCConfig(
+            num_catalogs=64,
+            ess_threshold_prop=0.5,
+            resample_method="systematic",
+            max_smc_iters=20,
+            flux_detection_threshold=200.0,
+        )
+        res = run_csmc_chunked(
+            jax.random.key(3), images, prior, model, kernel, cfg,
+            run=jax.jit(run_csmc), multiple=2,
+        )
+        assert res.counts.shape[0] == 3
+        np.testing.assert_allclose(np.asarray(res.temperature), 1.0)
+
+
+class TestPerTileBackgrounds:
+    def test_per_tile_map_matches_per_tile_scalars(self):
+        # a [T, 1, 1, h, w] background map must reproduce T independent
+        # runs each with its own scalar background (and must be chunked
+        # in lockstep with the tile axis)
+        from smcdet_tpu.inference.smc import run_csmc_chunked
+
+        prior, model, kernel = make_setup()
+        image, *_ = two_star_image()
+        images = jnp.stack([image, image + 50.0, image])
+        levels = jnp.asarray([100.0, 150.0, 125.0])
+        h, w = image.shape
+        bg = jnp.broadcast_to(
+            levels[:, None, None, None, None], (3, 1, 1, h, w)
+        )
+        cfg = SMCConfig(
+            num_catalogs=64,
+            ess_threshold_prop=0.5,
+            resample_method="systematic",
+            max_smc_iters=20,
+            flux_detection_threshold=200.0,
+        )
+        key = jax.random.key(4)
+        res = run_csmc_chunked(
+            key, images, prior, model.replace(background=bg),
+            kernel, cfg, budget_bytes=1,
+        )
+        for i in range(3):
+            part = jax.jit(run_csmc)(
+                jax.random.fold_in(key, i),
+                images[i : i + 1],
+                prior,
+                model.replace(background=float(levels[i])),
+                kernel,
+                cfg,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res.pruned_counts[i]),
+                np.asarray(part.pruned_counts[0]),
+            )
+
+
 class TestShardedRaggedTiles:
     def test_tile_count_not_divisible_by_mesh(self):
         # 6 tiles on an 8-device mesh: the chunked runner pads the tile

@@ -177,13 +177,20 @@ def gather_particles(idx, *arrays, particle_axis: int, chunk: int = 512):
     batch = idx.shape[:-1]
 
     if arrays[0].shape[particle_axis % arrays[0].ndim] > 4096:
+        # NOT take_along_axis: broadcasting idx over the trailing dims
+        # materialises an s32 [..., M, 2] index tensor whose TPU tiled
+        # layout pads the small minor dims (2 -> 128, M -> 8), an ~85x
+        # memory blow-up (26 GiB at T=111, N=8192 — un-compilable on a
+        # 16 GiB chip). A vmapped jnp.take keeps the index tensor 2-D
+        # [B, n_out] (0.3 GiB compiled temp at the same shape).
+        b_flat = int(np.prod(batch, dtype=int))
+        ixf = idx.reshape(b_flat, n_out)
         out = []
         for a in arrays:
             ax = particle_axis % a.ndim
-            expand = a.ndim - (ax + 1)
-            ix = idx.reshape(idx.shape + (1,) * expand)
-            ix = jnp.broadcast_to(ix, idx.shape + a.shape[ax + 1 :])
-            out.append(jnp.take_along_axis(a, ix, axis=ax))
+            af = a.reshape((b_flat, a.shape[ax]) + a.shape[ax + 1 :])
+            g = jax.vmap(lambda av, iv: jnp.take(av, iv, axis=0))(af, ixf)
+            out.append(g.reshape(batch + (n_out,) + a.shape[ax + 1 :]))
         return out[0] if len(out) == 1 else tuple(out)
 
     # flatten every array to [B, N_in, D]; integer payloads ride along as

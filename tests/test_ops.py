@@ -42,6 +42,22 @@ class TestResampling:
             np.asarray(xg[1, 2, 7]), np.asarray(x[1, 2, int(idx[1, 2, 7])])
         )
 
+    def test_large_axis_fallback_matches_numpy(self):
+        # N > 4096 takes the vmapped-take fallback (the one-hot MXU path
+        # is the wrong regime there); it must be an exact gather
+        N = 4100
+        x = jax.random.normal(jax.random.key(6), (2, N, 3, 2))
+        f = jax.random.normal(jax.random.key(7), (2, N, 3))
+        idx = jax.random.randint(jax.random.key(8), (2, N), 0, N)
+        xg, fg = gather_particles(idx, x, f, particle_axis=1)
+        i = np.asarray(idx)
+        np.testing.assert_array_equal(
+            np.asarray(xg), np.asarray(x)[np.arange(2)[:, None], i]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fg), np.asarray(f)[np.arange(2)[:, None], i]
+        )
+
 
 class TestStratifiedResampling:
     """The bridge's intracount resampling (aggregate.py:485-521 parity)."""

@@ -96,20 +96,33 @@ def main():
     quick = "--quick" in sys.argv
     num_tiles = 16 if quick else 332
     num_catalogs = 2048 if quick else 4096
-    chunk = 16 if quick else 83
+    chunk = 16 if quick else 14
     mh_steps = 100
     images, prior, model, kernel, cfg = build_problem(
         num_tiles=num_tiles, num_catalogs=num_catalogs, mh_steps=mh_steps
     )
     C = prior.num_counts
 
+    # Difficulty-ordered chunking (the ``sort_tiles`` option of
+    # ``run_csmc_chunked``): inside a jitted chunk every tile runs to the
+    # chunk-max adaptive-tempering length, so grouping similar-brightness
+    # tiles makes chunks iteration-homogeneous. Measured on the 332-tile
+    # frame at N=4096: 4.49 -> 8.00 tiles/s with updates/s within 2%
+    # (docs/PERF.md chunk-size sweep).
+    order = jnp.argsort(jnp.sum(images, axis=(1, 2)))
+    images = images[order]
+
+    n_chunks = -(-num_tiles // chunk)
+    pad = n_chunks * chunk - num_tiles
+    if pad:
+        images = jnp.concatenate(
+            [images, jnp.broadcast_to(images[-1:], (pad,) + images.shape[1:])]
+        )
+
     run = jax.jit(run_csmc)
     # Warm-up / compile on the first chunk's shape (all chunks equal).
     warm = run(jax.random.key(0), images[:chunk], prior, model, kernel, cfg)
     jax.block_until_ready(warm)
-
-    n_chunks = num_tiles // chunk
-    assert n_chunks * chunk == num_tiles
     # Keep host<->device round-trips OUT of the timed region: every
     # ``int()``/``float()`` on a device array is a tunnel RPC (~hundreds
     # of ms each through the axon proxy) that would be billed as compute.
@@ -132,8 +145,10 @@ def main():
 
     updates = 0
     min_final_ess_prop = float("inf")
-    for num_iters, temperature, ess in diags:
-        updates += chunk * C * num_catalogs * mh_steps * int(num_iters)
+    for c, (num_iters, temperature, ess) in enumerate(diags):
+        # bill only real (non-padding) tiles in the final chunk
+        real = chunk if c < n_chunks - 1 else chunk - pad
+        updates += real * C * num_catalogs * mh_steps * int(num_iters)
         assert float(jnp.max(jnp.abs(temperature - 1.0))) < 1e-6
         min_final_ess_prop = min(
             min_final_ess_prop, float(jnp.min(ess)) / num_catalogs

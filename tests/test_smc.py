@@ -425,6 +425,91 @@ class TestRunCSMCChunked:
             )
         np.testing.assert_allclose(np.asarray(res.temperature), 1.0)
 
+    def test_sort_tiles_restores_caller_order(self):
+        # sort_tiles=True must equal manually pre-sorting the tiles by
+        # total flux, running with sort_tiles=False, and scattering the
+        # results back to the caller's order — i.e. the permutation is
+        # invisible except through the key->tile assignment.
+        from smcdet_tpu.inference.smc import run_csmc_chunked
+
+        prior, model, kernel = make_setup()
+        image, *_ = two_star_image()
+        # strictly distinct total fluxes, deliberately unsorted order
+        images = jnp.stack(
+            [image + 30.0, image, image + 90.0, image + 60.0]
+        )
+        cfg = SMCConfig(
+            num_catalogs=64,
+            ess_threshold_prop=0.5,
+            resample_method="systematic",
+            max_smc_iters=20,
+            flux_detection_threshold=200.0,
+            record_history=True,
+        )
+        key = jax.random.key(11)
+        res = run_csmc_chunked(
+            key, images, prior, model, kernel, cfg,
+            budget_bytes=1, sort_tiles=True,
+        )
+        order = np.argsort(np.asarray(jnp.sum(images, axis=(1, 2))))
+        manual = run_csmc_chunked(
+            key, images[order], prior, model, kernel, cfg, budget_bytes=1
+        )
+        for j in range(4):
+            np.testing.assert_array_equal(
+                np.asarray(res.pruned_counts[order[j]]),
+                np.asarray(manual.pruned_counts[j]),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res.weights[order[j]]),
+                np.asarray(manual.weights[j]),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res.history["ess"][:, order[j]]),
+                np.asarray(manual.history["ess"][:, j]),
+            )
+
+    def test_sort_tiles_permutes_background_map_in_lockstep(self):
+        # a per-tile background map must follow the sorted tile order:
+        # each tile keeps ITS background regardless of the permutation
+        from smcdet_tpu.inference.smc import run_csmc_chunked
+
+        prior, model, kernel = make_setup()
+        image, *_ = two_star_image()
+        images = jnp.stack([image + 80.0, image, image + 40.0])
+        levels = jnp.asarray([180.0, 100.0, 140.0])
+        h, w = image.shape
+        bg = jnp.broadcast_to(
+            levels[:, None, None, None, None], (3, 1, 1, h, w)
+        )
+        cfg = SMCConfig(
+            num_catalogs=64,
+            ess_threshold_prop=0.5,
+            resample_method="systematic",
+            max_smc_iters=20,
+            flux_detection_threshold=200.0,
+        )
+        key = jax.random.key(12)
+        res = run_csmc_chunked(
+            key, images, prior, model.replace(background=bg), kernel,
+            cfg, budget_bytes=1, sort_tiles=True,
+        )
+        order = np.argsort(np.asarray(jnp.sum(images, axis=(1, 2))))
+        for j in range(3):
+            i = int(order[j])
+            part = jax.jit(run_csmc)(
+                jax.random.fold_in(key, j),
+                images[i : i + 1],
+                prior,
+                model.replace(background=float(levels[i])),
+                kernel,
+                cfg,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(res.pruned_counts[i]),
+                np.asarray(part.pruned_counts[0]),
+            )
+
     def test_padding_and_history_survive_chunking(self):
         # odd tile count pads the last chunk to the common shape (one XLA
         # compile) and slices back; recorded history concatenates across

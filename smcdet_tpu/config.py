@@ -90,6 +90,9 @@ class SamplerConfig:
     # variance reduction on the count pmf (the per-run logZ noise makes
     # softmax(log_z) overconfident; see docs/results divideandconquer)
     replicates: int = 1
+    # process tiles in total-flux order so chunks are adaptive-tempering
+    # homogeneous (exact; 1.8x frame wall on M71 — docs/PERF.md sweep)
+    sort_tiles: bool = True
 
 
 @dataclass

@@ -280,7 +280,8 @@ def run_experiment(
             # are independent)
             jitted = jax.jit(run_csmc)
             run = lambda key, imgs, bkgs=None: run_csmc_chunked(  # noqa: E731
-                key, imgs, prior, model, kernel, smc_cfg, run=jitted
+                key, imgs, prior, model, kernel, smc_cfg, run=jitted,
+                sort_tiles=cfg.sampler.sort_tiles,
             )
     elif method == "mcmc":
         from smcdet_tpu.inference.mcmc import MCMCConfig, run_mh

@@ -297,8 +297,16 @@ class SingleComponentMH:
         M = fluxes.shape[-1]
         k_j, k_loc, k_flux, k_acc = jax.random.split(key, 4)
 
-        j = jax.random.randint(k_j, batchN, 0, M)
-        active = j < counts
+        # uniform over the occupied slot prefix (slots 0..count-1), not
+        # all M padded slots: the reference proposes over every slot
+        # (kernel.py:35-44), wasting (M-s)/M of each sweep on no-op
+        # proposals. Occupied slots are exchangeable so this selection is
+        # symmetric; the kernel stays exact for the same stratum target.
+        u_j = jax.random.uniform(k_j, batchN)
+        j = jnp.minimum(
+            jnp.floor(u_j * counts).astype(jnp.int32), counts - 1
+        )
+        active = counts > 0
         onehot = jnp.arange(M) == j[..., None]  # [..., N, M]
 
         loc_j = _take_slot(locs, onehot)  # [..., N, 2]
@@ -484,8 +492,16 @@ def relocate_sweeps(key, ctx: TargetContext, counts, state: KernelState,
         M = fluxes.shape[-1]
         k_j, k_loc, k_flux, k_acc = jax.random.split(k, 4)
 
-        j = jax.random.randint(k_j, batchN, 0, M)
-        active = j < counts
+        # uniform over the occupied slot prefix (slots 0..count-1), not
+        # all M padded slots: the reference proposes over every slot
+        # (kernel.py:35-44), wasting (M-s)/M of each sweep on no-op
+        # proposals. Occupied slots are exchangeable so this selection is
+        # symmetric; the kernel stays exact for the same stratum target.
+        u_j = jax.random.uniform(k_j, batchN)
+        j = jnp.minimum(
+            jnp.floor(u_j * counts).astype(jnp.int32), counts - 1
+        )
+        active = counts > 0
         onehot = jnp.arange(M) == j[..., None]
 
         loc_j = _take_slot(locs, onehot)
@@ -625,8 +641,16 @@ class SingleComponentMALA:
         M = fluxes.shape[-1]
         k_j, k_loc, k_flux, k_acc = jax.random.split(key, 4)
 
-        j = jax.random.randint(k_j, batchN, 0, M)
-        active = j < counts
+        # uniform over the occupied slot prefix (slots 0..count-1), not
+        # all M padded slots: the reference proposes over every slot
+        # (kernel.py:35-44), wasting (M-s)/M of each sweep on no-op
+        # proposals. Occupied slots are exchangeable so this selection is
+        # symmetric; the kernel stays exact for the same stratum target.
+        u_j = jax.random.uniform(k_j, batchN)
+        j = jnp.minimum(
+            jnp.floor(u_j * counts).astype(jnp.int32), counts - 1
+        )
+        active = counts > 0
         onehot = jnp.arange(M) == j[..., None]  # [..., N, M]
 
         loc_j = _take_slot(locs, onehot)

@@ -295,12 +295,21 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
             (locs_y, locs_x, fluxes, rate, pll, lp, acc,
              child_rate, cll) = carry
 
+            # Select uniformly over the OCCUPIED slot prefix (slots
+            # 0..count-1), not all M slots: the reference proposes over
+            # every padded slot (kernel.py:35-44) so strata with s < M
+            # objects waste (M-s)/M of their sweeps on no-op proposals —
+            # ~50% averaged over counts 0..M. Occupied slots are
+            # exchangeable, so uniform selection among them is symmetric
+            # and the kernel stays exact for the same stratum target.
             u_j = _uniform((1, P))
+            counts_f = counts.astype(jnp.float32)
             j = jnp.minimum(
-                jnp.floor(u_j * M).astype(jnp.int32), M - 1
+                jnp.floor(u_j * counts_f).astype(jnp.int32),
+                counts - 1,
             )  # [1, P]
             onehot = (m_iota == j).astype(jnp.float32)  # [M, P]
-            active = (j < counts).astype(jnp.float32)  # [1, P]
+            active = (counts > 0).astype(jnp.float32)  # [1, P]
 
             loc_jy = (locs_y * onehot).sum(0, keepdims=True)  # [1, P]
             loc_jx = (locs_x * onehot).sum(0, keepdims=True)
@@ -590,10 +599,14 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
         def body(i, carry):
             locs_y, locs_x, fluxes, rate, pll, lp, acc = carry
 
+            # uniform over the occupied slot prefix (see the MH kernel)
             u_j = _uniform((1, P))
-            j = jnp.minimum(jnp.floor(u_j * M).astype(jnp.int32), M - 1)
+            counts_f = counts.astype(jnp.float32)
+            j = jnp.minimum(
+                jnp.floor(u_j * counts_f).astype(jnp.int32), counts - 1
+            )
             onehot = (m_iota == j).astype(jnp.float32)  # [M, P]
-            active = (j < counts).astype(jnp.float32)  # [1, P]
+            active = (counts > 0).astype(jnp.float32)  # [1, P]
 
             loc_jy = (locs_y * onehot).sum(0, keepdims=True)
             loc_jx = (locs_x * onehot).sum(0, keepdims=True)

@@ -81,6 +81,62 @@ def build_problem(num_tiles=16, num_catalogs=2048, mh_steps=100, max_smc_iters=1
     return sim.images, prior, model, kernel, cfg
 
 
+def main_streaming(num_tiles, num_catalogs, mh_steps, pool):
+    """Streaming-pool variant of the north-star measurement
+    (inference/streaming.py): a persistent ``pool``-slot tile pool with
+    host-scheduled swap-on-converge, removing the chunk-max iteration
+    waste entirely. Billed updates are the *executed* slot-steps
+    (frozen/speculative slots included), the same accounting basis as
+    the chunked path's chunk-max billing."""
+    import time as _time
+
+    from smcdet_tpu.inference.streaming import run_csmc_streaming
+
+    images, prior, model, kernel, cfg = build_problem(
+        num_tiles=num_tiles, num_catalogs=num_catalogs, mh_steps=mh_steps
+    )
+    C = prior.num_counts
+
+    # warm-up: compile init/step/swap/drain on a tiny run of pool size
+    warm, _ = run_csmc_streaming(
+        jax.random.key(0), images[:pool], prior, model, kernel, cfg,
+        pool=pool, return_info=True,
+    )
+    jax.block_until_ready(warm.temperature)
+
+    start = _time.perf_counter()
+    result, info = run_csmc_streaming(
+        jax.random.key(1), images, prior, model, kernel, cfg,
+        pool=pool, return_info=True,
+    )
+    jax.block_until_ready(result.temperature)
+    elapsed = _time.perf_counter() - start
+
+    assert float(jnp.max(jnp.abs(result.temperature - 1.0))) < 1e-6
+    ess = jnp.min(result.ess) / num_catalogs
+    updates = info["steps"] * info["pool"] * C * num_catalogs * mh_steps
+    updates_per_sec = updates / elapsed
+    tiles_per_sec = num_tiles / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "single-component particle updates/sec/chip "
+                f"(M71 full-frame streaming pool={pool}: {num_tiles} "
+                f"tiles, N={num_catalogs}/stratum, C={C}, {mh_steps} MH "
+                f"sweeps/iter, {elapsed:.2f}s wall)",
+                "value": updates_per_sec,
+                "unit": "updates/sec",
+                "vs_baseline": updates_per_sec / REFERENCE_UPDATES_PER_SEC,
+                "tiles_per_sec_to_target_ess": tiles_per_sec,
+                "min_final_ess_prop": float(ess),
+                "reference_tiles_per_sec": 0.025,
+                "mean_tile_iters": float(info["per_tile_iters"].mean()),
+                "slot_steps": int(info["steps"] * info["pool"]),
+            }
+        )
+    )
+
+
 def main():
     """North-star configuration (BASELINE.json): N=4096 catalogs/stratum
     over the full M71 frame workload — the reference's 332 checkerboard
@@ -92,6 +148,20 @@ def main():
     import sys
 
     from smcdet_tpu.inference.smc import run_csmc
+
+    if "--streaming" in sys.argv:
+        pool = 28
+        for a in sys.argv:
+            if a.startswith("--pool="):
+                pool = int(a.split("=")[1])
+        quick = "--quick" in sys.argv
+        main_streaming(
+            num_tiles=16 if quick else 332,
+            num_catalogs=2048 if quick else 4096,
+            mh_steps=100,
+            pool=min(pool, 16) if quick else pool,
+        )
+        return
 
     quick = "--quick" in sys.argv
     num_tiles = 16 if quick else 332

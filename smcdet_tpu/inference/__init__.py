@@ -28,3 +28,6 @@ from smcdet_tpu.inference.smc import (  # noqa: F401
     run_csmc,
     tile_image,
 )
+from smcdet_tpu.inference.streaming import (  # noqa: F401
+    run_csmc_streaming,
+)

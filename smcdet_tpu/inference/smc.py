@@ -48,6 +48,9 @@ __all__ = [
     "SMCConfig",
     "SMCState",
     "SMCResult",
+    "csmc_init",
+    "csmc_step",
+    "csmc_finalize",
     "run_csmc",
     "run_csmc_chunked",
     "max_tiles_per_chunk",
@@ -208,20 +211,24 @@ def tile_image(image, num_tiles_h: int, num_tiles_w: int, tile_dim: int):
     return tiles.transpose(0, 2, 1, 3).reshape(-1, tile_dim, tile_dim)
 
 
-def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
-    """Run count-stratified SMC on a batch of tiles ``images [T, h, w]``.
+def _strata(prior):
+    return jnp.arange(
+        prior.min_objects, prior.max_objects + 1, dtype=jnp.int32
+    )
 
-    The full temper→resample→mutate→reweight loop runs on device inside one
-    ``lax.while_loop`` (call under ``jit``; see ``SMCSampler`` for the
-    user-facing wrapper). Call stack parity: sampler.py:221-256.
+
+def csmc_init(key, images, prior, model, cfg: SMCConfig) -> SMCState:
+    """Initialize the CS-SMC particle system for ``images [T, h, w]`` and
+    take the iteration-0 temper step (sampler.py:57-85, :226-228).
+
+    ``run_csmc`` = ``csmc_init`` → ``csmc_step`` until every tile reaches
+    temperature 1 → ``csmc_finalize``; the pieces are exposed so a host
+    scheduler can drive the loop step-at-a-time (inference/streaming.py).
     """
     T = images.shape[0]
     N = cfg.num_catalogs
     C = prior.num_counts
 
-    # ------------------------------------------------------------------
-    # initialize (sampler.py:57-85)
-    # ------------------------------------------------------------------
     key, k_init = jax.random.split(key)
     strata, locs, fluxes = prior.sample_stratified(k_init, N, batch_shape=(T,))
     counts_b = jnp.broadcast_to(strata[None, :, None], (T, C, N))
@@ -257,123 +264,125 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
     # catalog per iteration — the single biggest per-iteration expense)
     ctx0 = _context(prior, model, images, state.temperature)
     kstate0 = init_kernel_state(ctx0, counts_b, locs, fluxes)
-    state = _temper_and_reweight(
+    return _temper_and_reweight(
         prior, model, images, cfg, state, loglik=kstate0.parent_ll
     )
 
-    # ------------------------------------------------------------------
-    # temper/resample/mutate loop (sampler.py:230-247)
-    # ------------------------------------------------------------------
-    HW = model.height * model.width
 
-    def cond(state):
-        return jnp.any(state.temperature < 1.0) & (
-            state.iteration < cfg.max_smc_iters
+def csmc_step(images, prior, model, kernel, cfg: SMCConfig, state) -> SMCState:
+    """One temper→resample→mutate→reweight iteration (sampler.py:230-247).
+
+    Pure function of the carried ``SMCState``; tiles already at
+    temperature 1 are frozen (their particles/weights pass through
+    unchanged), so a host scheduler may keep stepping a batch containing
+    finished tiles without perturbing their posterior.
+    """
+    T, C, N = state.loglik.shape
+    counts_b = jnp.broadcast_to(_strata(prior)[None, :, None], (T, C, N))
+
+    key, k_res, k_mut = jax.random.split(state.key, 3)
+    done = state.temperature >= 1.0
+    keep = done[:, None, None]
+
+    # resample within each stratum (sampler.py:127-169)
+    idx = resample_indices(
+        k_res, state.weights, N, cfg.resample_method
+    )  # [T, C, N]
+    ctx = _context(prior, model, images, state.temperature)
+    # Re-render the mutation caches from the resampled particles each
+    # iteration, like the reference (sampler.py:100-103). Carrying the
+    # incrementally-updated caches through resampling instead was
+    # measured to lose badly: f32 accumulation drift in the rate
+    # images loosens the adaptive tempering steps (23 iterations
+    # re-rendering vs 72 carrying over 8 iterations on the M71
+    # bench), while the render itself is a small fraction of a
+    # sweep-dominated iteration.
+    locs, fluxes = gather_particles(
+        idx, state.locs, state.fluxes, particle_axis=2
+    )
+    locs = jnp.where(keep[..., None, None], state.locs, locs)
+    fluxes = jnp.where(keep[..., None], state.fluxes, fluxes)
+    ks = init_kernel_state(ctx, counts_b, locs, fluxes)
+    rate, loglik, logprior = ks.rate, ks.parent_ll, ks.logprior
+    weights = jnp.where(keep, state.weights, 1.0 / N)
+
+    # mutate (sampler.py:171-179 → kernel.run_from_state)
+    kstate_in = KernelState(
+        locs=locs,
+        fluxes=fluxes,
+        rate=rate,
+        child_rate=None,
+        parent_ll=loglik,
+        child_ll=None,
+        logprior=logprior,
+    )
+    kstate, acc_rate = kernel.run_from_state(
+        k_mut, ctx, counts_b, kstate_in
+    )
+    if cfg.relocate_sweeps:
+        from smcdet_tpu.inference.kernels import relocate_sweeps
+
+        key, k_rel = jax.random.split(key)
+        kstate, acc_rel = relocate_sweeps(
+            k_rel, ctx, counts_b, kstate, cfg.relocate_sweeps
         )
+        n_mh = kernel.num_iters
+        acc_rate = (
+            acc_rate * n_mh + acc_rel * cfg.relocate_sweeps
+        ) / (n_mh + cfg.relocate_sweeps)
+    locs = jnp.where(keep[..., None, None], state.locs, kstate.locs)
+    fluxes = jnp.where(keep[..., None], state.fluxes, kstate.fluxes)
+    loglik = jnp.where(keep, state.loglik, kstate.parent_ll)
+    acc_tile = acc_rate.mean(-1)  # [T]
 
-    def body(state):
-        key, k_res, k_mut = jax.random.split(state.key, 3)
-        done = state.temperature >= 1.0
-        keep = done[:, None, None]
+    state = state._replace(
+        key=key,
+        locs=locs,
+        fluxes=fluxes,
+        weights=weights,
+        acc_rate=jnp.where(done, state.acc_rate, acc_tile),
+        iteration=state.iteration + 1,
+    )
+    state = _temper_and_reweight(
+        prior, model, images, cfg, state, loglik=loglik
+    )
 
-        # resample within each stratum (sampler.py:127-169)
-        idx = resample_indices(
-            k_res, state.weights, N, cfg.resample_method
-        )  # [T, C, N]
-        ctx = _context(prior, model, images, state.temperature)
-        # Re-render the mutation caches from the resampled particles each
-        # iteration, like the reference (sampler.py:100-103). Carrying the
-        # incrementally-updated caches through resampling instead was
-        # measured to lose badly: f32 accumulation drift in the rate
-        # images loosens the adaptive tempering steps (23 iterations
-        # re-rendering vs 72 carrying over 8 iterations on the M71
-        # bench), while the render itself is a small fraction of a
-        # sweep-dominated iteration.
-        locs, fluxes = gather_particles(
-            idx, state.locs, state.fluxes, particle_axis=2
-        )
-        locs = jnp.where(keep[..., None, None], state.locs, locs)
-        fluxes = jnp.where(keep[..., None], state.fluxes, fluxes)
-        ks = init_kernel_state(ctx, counts_b, locs, fluxes)
-        rate, loglik, logprior = ks.rate, ks.parent_ll, ks.logprior
-        weights = jnp.where(keep, state.weights, 1.0 / N)
-
-        # mutate (sampler.py:171-179 → kernel.run_from_state)
-        kstate_in = KernelState(
-            locs=locs,
-            fluxes=fluxes,
-            rate=rate,
-            child_rate=None,
-            parent_ll=loglik,
-            child_ll=None,
-            logprior=logprior,
-        )
-        kstate, acc_rate = kernel.run_from_state(
-            k_mut, ctx, counts_b, kstate_in
-        )
-        if cfg.relocate_sweeps:
-            from smcdet_tpu.inference.kernels import relocate_sweeps
-
-            key, k_rel = jax.random.split(key)
-            kstate, acc_rel = relocate_sweeps(
-                k_rel, ctx, counts_b, kstate, cfg.relocate_sweeps
-            )
-            n_mh = kernel.num_iters
-            acc_rate = (
-                acc_rate * n_mh + acc_rel * cfg.relocate_sweeps
-            ) / (n_mh + cfg.relocate_sweeps)
-        locs = jnp.where(keep[..., None, None], state.locs, kstate.locs)
-        fluxes = jnp.where(keep[..., None], state.fluxes, kstate.fluxes)
-        loglik = jnp.where(keep, state.loglik, kstate.parent_ll)
-        acc_tile = acc_rate.mean(-1)  # [T]
-
+    if cfg.record_history:
+        i = state.iteration - 1
         state = state._replace(
-            key=key,
-            locs=locs,
-            fluxes=fluxes,
-            weights=weights,
-            acc_rate=jnp.where(done, state.acc_rate, acc_tile),
-            iteration=state.iteration + 1,
+            history={
+                "temperature": state.history["temperature"]
+                .at[i]
+                .set(state.temperature),
+                "ess": state.history["ess"].at[i].set(state.ess),
+                "acc_rate": state.history["acc_rate"]
+                .at[i]
+                .set(state.acc_rate),
+            }
         )
-        state = _temper_and_reweight(
-            prior, model, images, cfg, state, loglik=loglik
+
+    if cfg.print_every:
+        jax.lax.cond(
+            state.iteration % cfg.print_every == 0,
+            lambda: jax.debug.print(
+                "iteration {i}: temperature in [{tlo:.2f}, {thi:.2f}], "
+                "acceptance rate in [{alo:.2f}, {ahi:.2f}]",
+                i=state.iteration,
+                tlo=state.temperature.min(),
+                thi=state.temperature.max(),
+                alo=state.acc_rate.min(),
+                ahi=state.acc_rate.max(),
+            ),
+            lambda: None,
         )
+    return state
 
-        if cfg.record_history:
-            i = state.iteration - 1
-            state = state._replace(
-                history={
-                    "temperature": state.history["temperature"]
-                    .at[i]
-                    .set(state.temperature),
-                    "ess": state.history["ess"].at[i].set(state.ess),
-                    "acc_rate": state.history["acc_rate"]
-                    .at[i]
-                    .set(state.acc_rate),
-                }
-            )
 
-        if cfg.print_every:
-            jax.lax.cond(
-                state.iteration % cfg.print_every == 0,
-                lambda: jax.debug.print(
-                    "iteration {i}: temperature in [{tlo:.2f}, {thi:.2f}], "
-                    "acceptance rate in [{alo:.2f}, {ahi:.2f}]",
-                    i=state.iteration,
-                    tlo=state.temperature.min(),
-                    thi=state.temperature.max(),
-                    alo=state.acc_rate.min(),
-                    ahi=state.acc_rate.max(),
-                ),
-                lambda: None,
-            )
-        return state
+def csmc_finalize(prior, model, cfg: SMCConfig, state) -> SMCResult:
+    """Final resample + prune (sampler.py:249-252) of a stepped state."""
+    T, C, N = state.loglik.shape
+    strata = _strata(prior)
 
-    state = jax.lax.while_loop(cond, body, state)
-
-    # ------------------------------------------------------------------
-    # final resample + prune (sampler.py:249-252)
-    # ------------------------------------------------------------------
     key, k_final = jax.random.split(state.key)
     idx = resample_indices(k_final, state.weights, N, cfg.resample_method)
     locs, fluxes = gather_particles(
@@ -419,6 +428,30 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
         acc_rate=state.acc_rate,
         history=state.history,
     )
+
+
+def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
+    """Run count-stratified SMC on a batch of tiles ``images [T, h, w]``.
+
+    The full temper→resample→mutate→reweight loop runs on device inside one
+    ``lax.while_loop`` (call under ``jit``; see ``SMCSampler`` for the
+    user-facing wrapper). Call stack parity: sampler.py:221-256. For a
+    host-scheduled tile pool over the same pieces see
+    ``inference/streaming.py``.
+    """
+    state = csmc_init(key, images, prior, model, cfg)
+
+    def cond(state):
+        return jnp.any(state.temperature < 1.0) & (
+            state.iteration < cfg.max_smc_iters
+        )
+
+    state = jax.lax.while_loop(
+        cond,
+        lambda s: csmc_step(images, prior, model, kernel, cfg, s),
+        state,
+    )
+    return csmc_finalize(prior, model, cfg, state)
 
 
 def max_tiles_per_chunk(

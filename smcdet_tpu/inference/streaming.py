@@ -1,0 +1,298 @@
+"""Streaming (continuation-batched) CS-SMC over a persistent tile pool.
+
+Motivation. ``run_csmc_chunked`` jits a chunk of tiles into one
+``lax.while_loop`` whose predicate is a batch ``any()`` — every tile in
+the chunk is billed at the *chunk-max* adaptive-tempering length, so a
+chunk mixing one crowded tile with quiet ones wastes the quiet tiles'
+slots for the crowded tile's extra iterations. Difficulty-ordered
+chunking (``sort_tiles=True``) recovers most of that (docs/PERF.md chunk
+sweep: 4.49 → 8.00 tiles/s on the M71 frame), but the max-vs-mean gap
+within a chunk remains.
+
+This module removes the gap structurally: a fixed-size pool of tile
+slots steps together under one compiled ``csmc_step`` program, and the
+host swaps every converged tile out for a fresh one the moment its
+done flag is observed. All shapes are static — slot replacement is a
+``dynamic_slice``/``dynamic_update_slice`` on each state leaf with a
+*traced* slot index, so the whole run compiles exactly three programs
+(step, swap, batched drain finalize). Scheduling runs on the host off
+the device's critical path: the done-flag read of step *k* overlaps
+with the device executing the already-dispatched step *k+1*, hiding
+the tunnel round-trip at the cost of one speculative (frozen) step per
+finished tile.
+
+The reference has no analogue (its sampler runs one image per process,
+run_smc.py:105-181); this is the TPU-native replacement for "start the
+next process when one finishes".
+
+Semantics. Per-tile posteriors are exact and schedule-independent in
+distribution: tiles at temperature 1 are frozen by ``csmc_step``
+(inference/smc.py), so speculative steps never perturb a finished tile,
+and ``csmc_finalize`` of a slot's sub-state equals finalizing it in any
+other batch. The PRNG stream is shared across the pool, so the *sample*
+depends on the pool schedule (immaterial; every schedule yields an exact
+posterior sample); re-running with the same inputs and pool size is
+deterministic. With ``pool >= T`` and no swaps the executed iteration
+sequence is identical to ``run_csmc``'s ``lax.while_loop``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smcdet_tpu.inference.smc import (
+    SMCConfig,
+    SMCResult,
+    SMCState,
+    csmc_finalize,
+    csmc_init,
+    csmc_step,
+    max_tiles_per_chunk,
+)
+
+__all__ = ["run_csmc_streaming"]
+
+
+def _slot_substate(state: SMCState, slot) -> SMCState:
+    """Extract one slot's ``[1, ...]`` sub-state (``slot`` may be traced).
+
+    The sub-state's key is forked from the shared pool key by slot so a
+    finalize on it never replays draws the pool stream will make next.
+    """
+
+    def take(leaf):
+        return jax.lax.dynamic_slice_in_dim(leaf, slot, 1, axis=0)
+
+    return SMCState(
+        key=jax.random.fold_in(state.key, 10_000 + slot),
+        locs=take(state.locs),
+        fluxes=take(state.fluxes),
+        temperature=take(state.temperature),
+        temperature_prev=take(state.temperature_prev),
+        loglik=take(state.loglik),
+        weights=take(state.weights),
+        log_z=take(state.log_z),
+        ess=take(state.ess),
+        acc_rate=take(state.acc_rate),
+        iteration=state.iteration,
+        history=None,
+    )
+
+
+def _insert_substate(state: SMCState, sub: SMCState, slot) -> SMCState:
+    """Scatter a ``[1, ...]`` sub-state into pool slot ``slot``.
+
+    The pool's shared key is left untouched (the inserted tile draws from
+    the shared stream from its next step on)."""
+
+    def put(leaf, new):
+        return jax.lax.dynamic_update_slice_in_dim(leaf, new, slot, axis=0)
+
+    return state._replace(
+        locs=put(state.locs, sub.locs),
+        fluxes=put(state.fluxes, sub.fluxes),
+        temperature=put(state.temperature, sub.temperature),
+        temperature_prev=put(state.temperature_prev, sub.temperature_prev),
+        loglik=put(state.loglik, sub.loglik),
+        weights=put(state.weights, sub.weights),
+        log_z=put(state.log_z, sub.log_z),
+        ess=put(state.ess, sub.ess),
+        acc_rate=put(state.acc_rate, sub.acc_rate),
+    )
+
+
+def run_csmc_streaming(
+    key,
+    images,
+    prior,
+    model,
+    kernel,
+    cfg: SMCConfig,
+    pool: int | None = None,
+    budget_bytes: int = 12 * 2**30,
+    return_info: bool = False,
+):
+    """CS-SMC over ``images [T, h, w]`` with a streaming tile pool.
+
+    ``pool``: number of resident tile slots (default: the
+    ``max_tiles_per_chunk`` memory-model size, capped at T). Returns an
+    ``SMCResult`` batched in the caller's tile order; with
+    ``return_info=True`` also returns ``{"per_tile_iters", "steps",
+    "pool"}`` — the exact billing base for throughput accounting
+    (executed slot-steps = ``steps * pool``).
+
+    Restrictions vs ``run_csmc``: ``fixed_schedule`` and
+    ``record_history`` are unsupported (both index a *global* iteration
+    number that swapped-in tiles don't share).
+    """
+    if cfg.fixed_schedule is not None or cfg.record_history:
+        raise ValueError(
+            "run_csmc_streaming requires adaptive tempering and "
+            "record_history=False (both index a global iteration number "
+            "that swapped-in tiles don't share)"
+        )
+    T, H, W = images.shape
+    if pool is None:
+        pool = max_tiles_per_chunk(prior, cfg.num_catalogs, H * W, budget_bytes)
+    P = min(pool, T)
+
+    bg = jnp.asarray(model.background)
+    per_tile_bg = bg.ndim >= 3 and bg.shape[0] == T
+
+    def model_for(bg_slice):
+        return model.replace(background=bg_slice) if per_tile_bg else model
+
+    step_jit = jax.jit(csmc_step)
+
+    @jax.jit
+    def swap_slot(state, pool_images, pool_bg, slot, k_init, image, bg1):
+        """Finalize slot ``slot``, insert a fresh tile in its place."""
+        out = csmc_finalize(
+            prior,
+            model_for(
+                jax.lax.dynamic_slice_in_dim(pool_bg, slot, 1, axis=0)[0]
+                if per_tile_bg
+                else None
+            ),
+            cfg,
+            _slot_substate(state, slot),
+        )
+        sub = csmc_init(k_init, image[None], prior, model_for(bg1), cfg)
+        state = _insert_substate(state, sub, slot)
+        pool_images = jax.lax.dynamic_update_slice_in_dim(
+            pool_images, image[None], slot, axis=0
+        )
+        if per_tile_bg:
+            pool_bg = jax.lax.dynamic_update_slice_in_dim(
+                pool_bg, bg1[None], slot, axis=0
+            )
+        return out, state, pool_images, pool_bg
+
+    @jax.jit
+    def drain_finalize(state, pool_bg):
+        """Batched finalize of the whole pool (used once at the end)."""
+        return csmc_finalize(prior, model_for(pool_bg), cfg, state)
+
+    # ------------------------------------------------------------------
+    # host scheduler (one-step pipeline: flags of state_d are fetched
+    # while the device executes the already-dispatched step d+1)
+    # ------------------------------------------------------------------
+    pool_images = images[:P]
+    pool_bg = bg[:P] if per_tile_bg else bg
+    state = jax.jit(csmc_init)(key, pool_images, prior, model_for(pool_bg), cfg)
+
+    slot_tile = list(range(P))  # global tile index resident in each slot
+    insert_step = np.zeros(T, dtype=np.int64)  # dispatch idx at insertion
+    iters = np.zeros(T, dtype=np.int64)
+    results: dict[int, SMCResult] = {}
+    finalized: set[int] = set()
+    detected: set[int] = set()  # done observed (iters pinned), not yet final
+    next_tile = P
+    d = 0  # dispatches executed; state_d = state after d steps
+
+    in_flight = step_jit(pool_images, prior, model_for(pool_bg), kernel, cfg, state)
+    d_inflight = 1
+
+    while True:
+        state, d = in_flight, d_inflight
+        # drain: no queue left — flags decide between stepping again and
+        # finishing, so no speculative dispatch (its result could never
+        # be used when everything turns out done)
+        draining = next_tile >= T
+        if not draining:
+            in_flight = step_jit(
+                pool_images, prior, model_for(pool_bg), kernel, cfg, state
+            )
+            d_inflight = d + 1
+        temps = np.asarray(state.temperature)  # overlaps with in_flight
+
+        done_slots = []
+        for s in range(P):
+            t = slot_tile[s]
+            if t in finalized:
+                continue
+            if t in detected:
+                done_slots.append(s)
+                continue
+            if temps[s] >= 1.0 or (d - insert_step[t]) >= cfg.max_smc_iters:
+                iters[t] = d - insert_step[t]
+                detected.add(t)
+                done_slots.append(s)
+
+        if draining:
+            if len(done_slots) == sum(
+                1 for t in slot_tile if t not in finalized
+            ):
+                # every remaining tile is done: one batched finalize
+                full = drain_finalize(state, pool_bg)
+                for s in range(P):
+                    t = slot_tile[s]
+                    if t in finalized:
+                        continue
+                    results[t] = SMCResult(
+                        **{
+                            f: (
+                                getattr(full, f)
+                                if f == "num_iters"
+                                else None
+                                if f == "history"
+                                else getattr(full, f)[s : s + 1]
+                            )
+                            for f in full._fields
+                        }
+                    )
+                    finalized.add(t)
+                break
+            in_flight = step_jit(
+                pool_images, prior, model_for(pool_bg), kernel, cfg, state
+            )
+            d_inflight = d + 1
+            continue
+
+        for s in done_slots:
+            if next_tile >= T:
+                break  # queue exhausted mid-round; drain handles the rest
+            t = slot_tile[s]
+            # swap applies to the in-flight state: the finished tile rides
+            # one extra frozen step (csmc_step freezes done tiles), the
+            # price of pipelining the flag fetch
+            k_init = jax.random.fold_in(key, 1_000_000 + next_tile)
+            bg1 = bg[next_tile] if per_tile_bg else None
+            out, in_flight, pool_images, pool_bg = swap_slot(
+                in_flight,
+                pool_images,
+                pool_bg,
+                jnp.int32(s),
+                k_init,
+                images[next_tile],
+                bg1,
+            )
+            results[t] = out
+            finalized.add(t)
+            slot_tile[s] = next_tile
+            insert_step[next_tile] = d_inflight  # first step is d_inflight+1
+            next_tile += 1
+
+    # ------------------------------------------------------------------
+    # stack per-tile results in caller order
+    # ------------------------------------------------------------------
+    parts = [results[t] for t in range(T)]
+    stacked = {}
+    for f in parts[0]._fields:
+        vals = [getattr(p, f) for p in parts]
+        if f == "history":
+            stacked[f] = None
+        elif f == "num_iters":
+            stacked[f] = jnp.asarray(int(iters.max()), dtype=jnp.int32)
+        else:
+            stacked[f] = jnp.concatenate(vals, axis=0)
+    result = SMCResult(**stacked)
+    if return_info:
+        return result, {
+            "per_tile_iters": iters,
+            "steps": d_inflight,
+            "pool": P,
+        }
+    return result

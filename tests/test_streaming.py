@@ -1,0 +1,145 @@
+"""Tests for the streaming (continuation-batched) runner
+(inference/streaming.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _problem(num_tiles, key=11):
+    """Distinguishable tiles: tile i holds i (mod 4) bright stars."""
+    from smcdet_tpu.inference.kernels import SingleComponentMH
+    from smcdet_tpu.inference.smc import SMCConfig
+    from smcdet_tpu.models.imaging import ImageModel
+    from smcdet_tpu.models.priors import (
+        NormalFlux,
+        PointProcessPrior,
+        UniformCounts,
+    )
+    from smcdet_tpu.models.psf import GaussianPSF
+
+    M = 3
+    prior = PointProcessPrior(
+        min_objects=0,
+        max_objects=M,
+        image_height=8,
+        image_width=8,
+        pad=1.0,
+        counts=UniformCounts(0, M),
+        flux=NormalFlux(mean=jnp.float32(800.0), stdev=jnp.float32(80.0)),
+    )
+    model = ImageModel(
+        height=8,
+        width=8,
+        psf_radius=4,
+        noise="poisson",
+        background=jnp.float32(100.0),
+        psf=GaussianPSF(stdev=jnp.float32(0.9)),
+    )
+    kernel = SingleComponentMH(
+        num_iters=30,
+        locs_stdev=jnp.float32(0.2),
+        fluxes_stdev=jnp.float32(15.0),
+        fluxes_min=jnp.float32(0.0),
+        fluxes_max=jnp.float32(2000.0),
+    )
+    cfg = SMCConfig(
+        num_catalogs=256,
+        ess_threshold_prop=0.5,
+        resample_method="systematic",
+        max_smc_iters=60,
+        flux_detection_threshold=200.0,
+    )
+    all_locs = jnp.asarray(
+        [[2.0, 2.0], [5.5, 5.5], [2.0, 6.0]], dtype=jnp.float32
+    )
+    images = []
+    true_counts = []
+    for i in range(num_tiles):
+        c = i % (M + 1)
+        locs = jnp.where(
+            (jnp.arange(M) < c)[:, None], all_locs, jnp.zeros((M, 2))
+        )
+        fluxes = jnp.where(jnp.arange(M) < c, 800.0, 0.0)
+        img = model.sample(jax.random.fold_in(jax.random.key(key), i), locs, fluxes)
+        images.append(img)
+        true_counts.append(c)
+    return jnp.stack(images), np.asarray(true_counts), prior, model, kernel, cfg
+
+
+class TestStreamingRunner:
+    def test_pool_covering_batch_matches_run_csmc(self):
+        """With pool >= T (no swaps) the streaming scheduler executes the
+        same iteration sequence as run_csmc's lax.while_loop, so results
+        agree to compilation-fusion tolerance."""
+        from smcdet_tpu.inference.smc import run_csmc
+        from smcdet_tpu.inference.streaming import run_csmc_streaming
+
+        images, truth, prior, model, kernel, cfg = _problem(3)
+        key = jax.random.key(0)
+        gold = jax.jit(run_csmc)(key, images, prior, model, kernel, cfg)
+        got, info = run_csmc_streaming(
+            key, images, prior, model, kernel, cfg, pool=8, return_info=True
+        )
+        assert info["pool"] == 3
+        np.testing.assert_allclose(
+            np.asarray(got.temperature), np.asarray(gold.temperature)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.log_normalizing_constant),
+            np.asarray(gold.log_normalizing_constant),
+            rtol=2e-5,
+            atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.weights), np.asarray(gold.weights), atol=2e-5
+        )
+        assert int(got.num_iters) == int(gold.num_iters)
+
+    def test_swapping_pool_returns_each_tile_exact(self):
+        """pool < T forces swaps; every returned row must be the posterior
+        of ITS OWN tile (catches slot-bookkeeping/misordering bugs): the
+        tiles hold 0..3 bright stars, so the posterior count mode is the
+        tile identity."""
+        from smcdet_tpu.inference.streaming import run_csmc_streaming
+
+        images, truth, prior, model, kernel, cfg = _problem(6)
+        result, info = run_csmc_streaming(
+            jax.random.key(1),
+            images,
+            prior,
+            model,
+            kernel,
+            cfg,
+            pool=2,
+            return_info=True,
+        )
+        assert info["pool"] == 2
+        assert (info["per_tile_iters"] >= 1).all()
+        temps = np.asarray(result.temperature)
+        np.testing.assert_allclose(temps, 1.0)
+        logz = np.asarray(result.log_normalizing_constant)
+        assert np.isfinite(logz).all()
+        pmf = jax.nn.softmax(result.log_normalizing_constant, axis=-1)
+        modes = np.asarray(jnp.argmax(pmf, axis=-1))
+        np.testing.assert_array_equal(modes, truth)
+        # posterior weights rows are normalised
+        np.testing.assert_allclose(
+            np.asarray(result.weights).sum(-1), 1.0, rtol=1e-5
+        )
+
+    def test_rejects_global_iteration_configs(self):
+        from smcdet_tpu.inference.streaming import run_csmc_streaming
+
+        images, truth, prior, model, kernel, cfg = _problem(2)
+        with pytest.raises(ValueError):
+            run_csmc_streaming(
+                jax.random.key(0),
+                images,
+                prior,
+                model,
+                kernel,
+                cfg.replace(record_history=True),
+                pool=2,
+            )

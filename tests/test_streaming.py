@@ -129,6 +129,62 @@ class TestStreamingRunner:
             np.asarray(result.weights).sum(-1), 1.0, rtol=1e-5
         )
 
+    def test_per_tile_background_rides_the_swaps(self):
+        """A [T, H, W] background map must follow its tile through slot
+        swaps: tiles carry strongly different backgrounds, so a slot
+        using a stale background would corrupt that tile's likelihood
+        and shift its posterior count mode."""
+        from smcdet_tpu.inference.streaming import run_csmc_streaming
+
+        images, truth, prior, model, kernel, cfg = _problem(6)
+        T = images.shape[0]
+        levels = 100.0 + 400.0 * jnp.arange(T, dtype=jnp.float32)
+        # [T, 1, 1, H, W]: broadcast-ready against the [T, C, N, HW]
+        # particle batch (the run_csmc_chunked convention)
+        bg_map = jnp.broadcast_to(
+            levels[:, None, None, None, None], (T, 1, 1, 8, 8)
+        )
+        # regenerate each tile's pixels under ITS background level
+        M = 3
+        all_locs = jnp.asarray(
+            [[2.0, 2.0], [5.5, 5.5], [2.0, 6.0]], dtype=jnp.float32
+        )
+        imgs = []
+        for i in range(T):
+            c = int(truth[i])
+            locs = jnp.where(
+                (jnp.arange(M) < c)[:, None], all_locs, jnp.zeros((M, 2))
+            )
+            fluxes = jnp.where(jnp.arange(M) < c, 800.0, 0.0)
+            m_i = model.replace(background=levels[i])
+            imgs.append(
+                m_i.sample(jax.random.fold_in(jax.random.key(5), i), locs, fluxes)
+            )
+        images = jnp.stack(imgs)
+        model_map = model.replace(background=bg_map)
+
+        result = run_csmc_streaming(
+            jax.random.key(2), images, prior, model_map, kernel, cfg, pool=2
+        )
+        np.testing.assert_allclose(np.asarray(result.temperature), 1.0)
+        # compare against the single-batch sampler on the same map: a
+        # slot using a stale background would shift that tile's count
+        # pmf by O(1), far beyond the MC noise between the two runs
+        # (measured max per-tile pmf diff ~0.07 at N=256)
+        from smcdet_tpu.inference.smc import run_csmc
+
+        gold = jax.jit(run_csmc)(
+            jax.random.key(2), images, prior, model_map, kernel, cfg
+        )
+        pmf = np.asarray(
+            jax.nn.softmax(result.log_normalizing_constant, axis=-1)
+        )
+        pmf_gold = np.asarray(
+            jax.nn.softmax(gold.log_normalizing_constant, axis=-1)
+        )
+        tvd = 0.5 * np.abs(pmf - pmf_gold).sum(-1)
+        assert tvd.max() < 0.2, (tvd, pmf, pmf_gold)
+
     def test_rejects_global_iteration_configs(self):
         from smcdet_tpu.inference.streaming import run_csmc_streaming
 

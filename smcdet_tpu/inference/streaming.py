@@ -113,6 +113,7 @@ def run_csmc_streaming(
     pool: int | None = None,
     budget_bytes: int = 12 * 2**30,
     return_info: bool = False,
+    devices=None,
 ):
     """CS-SMC over ``images [T, h, w]`` with a streaming tile pool.
 
@@ -122,6 +123,13 @@ def run_csmc_streaming(
     ``return_info=True`` also returns ``{"per_tile_iters", "steps",
     "pool"}`` — the exact billing base for throughput accounting
     (executed slot-steps = ``steps * pool``).
+
+    ``devices``: optional device list / ``Mesh`` — the pool's slot axis
+    shards over a 1-D tile mesh (parallel/sharding.py); the budget is
+    per device, so the default pool also scales by the mesh size. Slot
+    swaps use traced-index ``dynamic_update_slice`` on the sharded axis
+    (the [1, ...] insert is replicated and each shard selects its rows),
+    so swap programs stay schedule-independent and compile once.
 
     Restrictions vs ``run_csmc``: ``fixed_schedule`` and
     ``record_history`` are unsupported (both index a *global* iteration
@@ -134,9 +142,23 @@ def run_csmc_streaming(
             "that swapped-in tiles don't share)"
         )
     T, H, W = images.shape
+    n_dev = 1
+    tiles_sharding = None
+    if devices is not None:
+        from smcdet_tpu.parallel.sharding import tile_mesh, tile_sharding
+
+        mesh = tile_mesh(devices)
+        n_dev = mesh.devices.size
+        tiles_sharding = tile_sharding(mesh)
     if pool is None:
-        pool = max_tiles_per_chunk(prior, cfg.num_catalogs, H * W, budget_bytes)
-    P = min(pool, T)
+        pool = n_dev * max_tiles_per_chunk(
+            prior, cfg.num_catalogs, H * W, budget_bytes
+        )
+    P = min(pool, max(T, 1))
+    if n_dev > 1:
+        # the slot axis shards over the mesh: round the pool to a mesh
+        # multiple (never above T unless T itself is not a multiple)
+        P = max(n_dev, (P // n_dev) * n_dev)
 
     bg = jnp.asarray(model.background)
     per_tile_bg = bg.ndim >= 3 and bg.shape[0] == T
@@ -179,11 +201,26 @@ def run_csmc_streaming(
     # host scheduler (one-step pipeline: flags of state_d are fetched
     # while the device executes the already-dispatched step d+1)
     # ------------------------------------------------------------------
-    pool_images = images[:P]
-    pool_bg = bg[:P] if per_tile_bg else bg
+    def pad_pool(leaf):
+        # pad slots (tile index -1) repeat the last tile; their results
+        # are discarded. Only reached when P > T (mesh-multiple pools).
+        if leaf.shape[0] >= P:
+            return leaf[:P]
+        reps = jnp.broadcast_to(
+            leaf[-1:], (P - leaf.shape[0],) + leaf.shape[1:]
+        )
+        return jnp.concatenate([leaf, reps])
+
+    pool_images = pad_pool(images)
+    pool_bg = pad_pool(bg) if per_tile_bg else bg
+    if tiles_sharding is not None:
+        pool_images = jax.device_put(pool_images, tiles_sharding)
+        if per_tile_bg:
+            pool_bg = jax.device_put(pool_bg, tiles_sharding)
     state = jax.jit(csmc_init)(key, pool_images, prior, model_for(pool_bg), cfg)
 
-    slot_tile = list(range(P))  # global tile index resident in each slot
+    # global tile index resident in each slot (-1 = pad, never finalized)
+    slot_tile = [t if t < T else -1 for t in range(P)]
     insert_step = np.zeros(T, dtype=np.int64)  # dispatch idx at insertion
     iters = np.zeros(T, dtype=np.int64)
     results: dict[int, SMCResult] = {}
@@ -211,7 +248,7 @@ def run_csmc_streaming(
         done_slots = []
         for s in range(P):
             t = slot_tile[s]
-            if t in finalized:
+            if t < 0 or t in finalized:
                 continue
             if t in detected:
                 done_slots.append(s)
@@ -223,13 +260,13 @@ def run_csmc_streaming(
 
         if draining:
             if len(done_slots) == sum(
-                1 for t in slot_tile if t not in finalized
+                1 for t in slot_tile if t >= 0 and t not in finalized
             ):
                 # every remaining tile is done: one batched finalize
                 full = drain_finalize(state, pool_bg)
                 for s in range(P):
                     t = slot_tile[s]
-                    if t in finalized:
+                    if t < 0 or t in finalized:
                         continue
                     results[t] = SMCResult(
                         **{

@@ -185,6 +185,73 @@ class TestStreamingRunner:
         tvd = 0.5 * np.abs(pmf - pmf_gold).sum(-1)
         assert tvd.max() < 0.2, (tvd, pmf, pmf_gold)
 
+    def test_sharded_pool_matches_unsharded(self):
+        """The pool's slot axis shards over the virtual 8-CPU tile mesh;
+        the host schedule is device-layout-independent, so the sharded
+        run must reproduce the unsharded streaming run."""
+        from smcdet_tpu.inference.streaming import run_csmc_streaming
+        from smcdet_tpu.parallel.sharding import tile_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        images, truth, prior, model, kernel, cfg = _problem(12)
+        key = jax.random.key(4)
+        plain, info_p = run_csmc_streaming(
+            key, images, prior, model, kernel, cfg, pool=8, return_info=True
+        )
+        sharded, info_s = run_csmc_streaming(
+            key,
+            images,
+            prior,
+            model,
+            kernel,
+            cfg,
+            pool=8,
+            return_info=True,
+            devices=tile_mesh(jax.devices()[:8]),
+        )
+        assert info_s["pool"] == 8
+        # identical schedule => identical iteration counts and results
+        np.testing.assert_array_equal(
+            info_p["per_tile_iters"], info_s["per_tile_iters"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain.temperature), np.asarray(sharded.temperature)
+        )
+        np.testing.assert_allclose(
+            np.asarray(plain.log_normalizing_constant),
+            np.asarray(sharded.log_normalizing_constant),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+    def test_mesh_multiple_pool_pads_when_tiles_run_short(self):
+        """P rounds up to a mesh multiple; with T < P the extra slots are
+        pad (never finalized) and every real tile still returns."""
+        from smcdet_tpu.inference.streaming import run_csmc_streaming
+        from smcdet_tpu.parallel.sharding import tile_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        images, truth, prior, model, kernel, cfg = _problem(5)
+        result, info = run_csmc_streaming(
+            jax.random.key(6),
+            images,
+            prior,
+            model,
+            kernel,
+            cfg,
+            pool=3,
+            return_info=True,
+            devices=tile_mesh(jax.devices()[:8]),
+        )
+        assert info["pool"] == 8  # rounded up to the mesh size
+        assert result.temperature.shape == (5,)
+        np.testing.assert_allclose(np.asarray(result.temperature), 1.0)
+        pmf = jax.nn.softmax(result.log_normalizing_constant, axis=-1)
+        modes = np.asarray(jnp.argmax(pmf, axis=-1))
+        np.testing.assert_array_equal(modes, truth)
+
     def test_rejects_global_iteration_configs(self):
         from smcdet_tpu.inference.streaming import run_csmc_streaming
 

@@ -705,13 +705,30 @@ class SMCSampler:
             getattr(self, "memory_budget_bytes", 12 * 2**30),
         )
 
-    def run(self, key=None, devices=None) -> SMCResult:
+    def run(self, key=None, devices=None, streaming=False) -> SMCResult:
         """Run the sampler. ``devices``: optional list for a tile-sharded
         mesh (see parallel/sharding.py); default single-device jit. Tile
         batches exceeding the device memory budget are processed in
-        sequential chunks (per-tile CS-SMC is independent)."""
+        sequential chunks (per-tile CS-SMC is independent), or — with
+        ``streaming=True`` — through the swap-on-converge tile pool
+        (inference/streaming.py), which removes the chunk-max iteration
+        waste on heterogeneous frames."""
         if key is None:
             key = jax.random.key(0)
+        if streaming:
+            from smcdet_tpu.inference.streaming import run_csmc_streaming
+
+            self.result = run_csmc_streaming(
+                key,
+                self.tiled_image,
+                self.prior,
+                self.image_model,
+                self.kernel,
+                self.config,
+                budget_bytes=getattr(self, "memory_budget_bytes", 12 * 2**30),
+                devices=devices,
+            )
+            return self.result
         run = jax.jit(run_csmc, static_argnames=())
         if devices is not None:
             from smcdet_tpu.parallel.sharding import shard_tiles_jit

@@ -97,9 +97,11 @@ def main_streaming(num_tiles, num_catalogs, mh_steps, pool):
     )
     C = prior.num_counts
 
-    # warm-up: compile init/step/swap/drain on a tiny run of pool size
+    # warm-up: compile all four streaming programs (init/step/finalize/
+    # insert — module-level jits, so the cache carries to the timed run);
+    # pool+2 tiles force at least one swap so the insert path compiles
     warm, _ = run_csmc_streaming(
-        jax.random.key(0), images[:pool], prior, model, kernel, cfg,
+        jax.random.key(0), images[: pool + 2], prior, model, kernel, cfg,
         pool=pool, return_info=True,
     )
     jax.block_until_ready(warm.temperature)

@@ -54,6 +54,8 @@ __all__ = [
     "run_csmc",
     "run_csmc_chunked",
     "max_tiles_per_chunk",
+    "pad_tiles",
+    "is_per_tile_background",
     "SMCSampler",
     "SMCsampler",
 ]
@@ -471,6 +473,24 @@ def max_tiles_per_chunk(
     return max(1, budget_bytes // max(per_tile, 1))
 
 
+def pad_tiles(leaf, n: int):
+    """Pad (or trim) axis 0 to ``n`` by repeating the last tile, so every
+    batch shares one compiled shape; padded results are discarded by the
+    caller."""
+    if n <= leaf.shape[0]:
+        return leaf[:n]
+    reps = jnp.broadcast_to(leaf[-1:], (n - leaf.shape[0],) + leaf.shape[1:])
+    return jnp.concatenate([leaf, reps])
+
+
+def is_per_tile_background(background, num_tiles: int) -> bool:
+    """True when ``background`` is a per-tile map ``[T, 1, 1, H, W]``
+    (broadcast-ready against the ``[T, C, N, HW]`` particle batch) that
+    must be sliced/permuted in lockstep with the tile axis."""
+    bg = jnp.asarray(background)
+    return bg.ndim >= 3 and bg.shape[0] == num_tiles
+
+
 def compiled_live_bytes(compiled) -> int | None:
     """Peak device-memory commitment of a compiled executable: arguments +
     outputs + XLA temporaries, from ``compiled.memory_analysis()``.
@@ -565,7 +585,7 @@ def run_csmc_chunked(
     # a per-tile background map ([T, ...] leading axis) must be chunked
     # in lockstep with the tile axis of ``images``
     bg = jnp.asarray(model.background)
-    per_tile_bg = bg.ndim >= 3 and bg.shape[0] == T
+    per_tile_bg = is_per_tile_background(bg, T)
     if per_tile_bg and order is not None:
         bg = bg[order]
 
@@ -576,14 +596,6 @@ def run_csmc_chunked(
         # not inspectable: trust the analytic estimate and run whole
         return unsort(
             run(key, images, prior, model_for(bg), kernel, cfg)
-        )
-
-    def pad_tiles(imgs, n):
-        # repeat the last tile so every chunk shares one compiled shape
-        if n <= imgs.shape[0]:
-            return imgs[:n]
-        return jnp.concatenate(
-            [imgs, jnp.broadcast_to(imgs[-1:], (n - imgs.shape[0],) + imgs.shape[1:])]
         )
 
     n_chunks = max(1, -(-T // chunk))

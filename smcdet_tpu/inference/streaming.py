@@ -11,15 +11,15 @@ within a chunk remains.
 
 This module removes the gap structurally: a fixed-size pool of tile
 slots steps together under one compiled ``csmc_step`` program, and the
-host swaps every converged tile out for a fresh one the moment its
-done flag is observed. All shapes are static — slot replacement is a
-``dynamic_slice``/``dynamic_update_slice`` on each state leaf with a
-*traced* slot index, so the whole run compiles exactly three programs
-(step, swap, batched drain finalize). Scheduling runs on the host off
-the device's critical path: the done-flag read of step *k* overlaps
-with the device executing the already-dispatched step *k+1*, hiding
-the tunnel round-trip at the cost of one speculative (frozen) step per
-finished tile.
+host finalizes every tile the moment its done flag is observed, swapping
+a fresh tile into the freed slot. All shapes are static — slot access is
+a ``dynamic_slice``/``dynamic_update_slice`` on each state leaf with a
+*traced* slot index — so the whole run uses four compiled programs
+(init, step, slot finalize, slot insert), all module-level jits shared
+across calls. Scheduling runs on the host off the device's critical
+path: the done-flag read of step *k* overlaps with the device executing
+the already-dispatched step *k+1*, hiding the tunnel round-trip at the
+cost of one speculative (frozen) step per finished tile.
 
 The reference has no analogue (its sampler runs one image per process,
 run_smc.py:105-181); this is the TPU-native replacement for "start the
@@ -27,16 +27,21 @@ next process when one finishes".
 
 Semantics. Per-tile posteriors are exact and schedule-independent in
 distribution: tiles at temperature 1 are frozen by ``csmc_step``
-(inference/smc.py), so speculative steps never perturb a finished tile,
-and ``csmc_finalize`` of a slot's sub-state equals finalizing it in any
-other batch. The PRNG stream is shared across the pool, so the *sample*
-depends on the pool schedule (immaterial; every schedule yields an exact
-posterior sample); re-running with the same inputs and pool size is
-deterministic. With ``pool >= T`` and no swaps the executed iteration
+(inference/smc.py), and every tile is finalized from the first state in
+which it was observed done — so speculative steps never leak into
+results, including tiles that hit the ``max_smc_iters`` cap with
+temperature < 1 (they are finalized at exactly the cap, like
+``run_csmc``'s loop bound, even though their slot keeps computing until
+it is reused). The PRNG stream is shared across the pool, so the
+*sample* depends on the pool schedule (immaterial; every schedule yields
+an exact posterior sample); re-running with the same inputs and pool
+size is deterministic. With ``pool >= T`` the executed iteration
 sequence is identical to ``run_csmc``'s ``lax.while_loop``.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +54,9 @@ from smcdet_tpu.inference.smc import (
     csmc_finalize,
     csmc_init,
     csmc_step,
+    is_per_tile_background,
     max_tiles_per_chunk,
+    pad_tiles,
 )
 
 __all__ = ["run_csmc_streaming"]
@@ -101,6 +108,57 @@ def _insert_substate(state: SMCState, sub: SMCState, slot) -> SMCState:
         ess=put(state.ess, sub.ess),
         acc_rate=put(state.acc_rate, sub.acc_rate),
     )
+
+
+def _model_for(model, bg_slice, per_tile_bg: bool):
+    return model.replace(background=bg_slice) if per_tile_bg else model
+
+
+# Module-level jits: shared (and warm) across run_csmc_streaming calls —
+# prior/model/cfg ride through as pytree arguments, so the cache keys on
+# their structure and shapes, not on per-call closure identity.
+_init_jit = jax.jit(csmc_init)
+_step_jit = jax.jit(csmc_step)
+
+
+@partial(jax.jit, static_argnames=("per_tile_bg",))
+def _finalize_slot(state, pool_bg, slot, prior, model, cfg, per_tile_bg):
+    """Finalize one slot from the state it was observed done in."""
+    bg1 = (
+        jax.lax.dynamic_slice_in_dim(pool_bg, slot, 1, axis=0)
+        if per_tile_bg
+        else None
+    )
+    return csmc_finalize(
+        prior,
+        _model_for(model, bg1, per_tile_bg),
+        cfg,
+        _slot_substate(state, slot),
+    )
+
+
+@partial(jax.jit, static_argnames=("per_tile_bg",))
+def _insert_slot(
+    state, pool_images, pool_bg, slot, k_init, image, bg1,
+    prior, model, cfg, per_tile_bg,
+):
+    """Initialize a fresh tile and scatter it into pool slot ``slot``."""
+    sub = csmc_init(
+        k_init,
+        image[None],
+        prior,
+        _model_for(model, bg1[None] if per_tile_bg else None, per_tile_bg),
+        cfg,
+    )
+    state = _insert_substate(state, sub, slot)
+    pool_images = jax.lax.dynamic_update_slice_in_dim(
+        pool_images, image[None], slot, axis=0
+    )
+    if per_tile_bg:
+        pool_bg = jax.lax.dynamic_update_slice_in_dim(
+            pool_bg, bg1[None], slot, axis=0
+        )
+    return state, pool_images, pool_bg
 
 
 def run_csmc_streaming(
@@ -157,160 +215,88 @@ def run_csmc_streaming(
     P = min(pool, max(T, 1))
     if n_dev > 1:
         # the slot axis shards over the mesh: round the pool to a mesh
-        # multiple (never above T unless T itself is not a multiple)
+        # multiple (pad slots fill in when tiles run short)
         P = max(n_dev, (P // n_dev) * n_dev)
 
     bg = jnp.asarray(model.background)
-    per_tile_bg = bg.ndim >= 3 and bg.shape[0] == T
-
-    def model_for(bg_slice):
-        return model.replace(background=bg_slice) if per_tile_bg else model
-
-    step_jit = jax.jit(csmc_step)
-
-    @jax.jit
-    def swap_slot(state, pool_images, pool_bg, slot, k_init, image, bg1):
-        """Finalize slot ``slot``, insert a fresh tile in its place."""
-        out = csmc_finalize(
-            prior,
-            model_for(
-                jax.lax.dynamic_slice_in_dim(pool_bg, slot, 1, axis=0)[0]
-                if per_tile_bg
-                else None
-            ),
-            cfg,
-            _slot_substate(state, slot),
-        )
-        sub = csmc_init(k_init, image[None], prior, model_for(bg1), cfg)
-        state = _insert_substate(state, sub, slot)
-        pool_images = jax.lax.dynamic_update_slice_in_dim(
-            pool_images, image[None], slot, axis=0
-        )
-        if per_tile_bg:
-            pool_bg = jax.lax.dynamic_update_slice_in_dim(
-                pool_bg, bg1[None], slot, axis=0
-            )
-        return out, state, pool_images, pool_bg
-
-    @jax.jit
-    def drain_finalize(state, pool_bg):
-        """Batched finalize of the whole pool (used once at the end)."""
-        return csmc_finalize(prior, model_for(pool_bg), cfg, state)
+    per_tile_bg = is_per_tile_background(bg, T)
 
     # ------------------------------------------------------------------
     # host scheduler (one-step pipeline: flags of state_d are fetched
     # while the device executes the already-dispatched step d+1)
     # ------------------------------------------------------------------
-    def pad_pool(leaf):
-        # pad slots (tile index -1) repeat the last tile; their results
-        # are discarded. Only reached when P > T (mesh-multiple pools).
-        if leaf.shape[0] >= P:
-            return leaf[:P]
-        reps = jnp.broadcast_to(
-            leaf[-1:], (P - leaf.shape[0],) + leaf.shape[1:]
-        )
-        return jnp.concatenate([leaf, reps])
-
-    pool_images = pad_pool(images)
-    pool_bg = pad_pool(bg) if per_tile_bg else bg
+    pool_images = pad_tiles(images, P)
+    pool_bg = pad_tiles(bg, P) if per_tile_bg else bg
     if tiles_sharding is not None:
         pool_images = jax.device_put(pool_images, tiles_sharding)
         if per_tile_bg:
             pool_bg = jax.device_put(pool_bg, tiles_sharding)
-    state = jax.jit(csmc_init)(key, pool_images, prior, model_for(pool_bg), cfg)
+    state = _init_jit(
+        key, pool_images, prior, _model_for(model, pool_bg, per_tile_bg), cfg
+    )
 
-    # global tile index resident in each slot (-1 = pad, never finalized)
+    # global tile index resident in each slot (-1 = pad or spent slot,
+    # excluded from all accounting; pad slots repeat the last tile)
     slot_tile = [t if t < T else -1 for t in range(P)]
     insert_step = np.zeros(T, dtype=np.int64)  # dispatch idx at insertion
     iters = np.zeros(T, dtype=np.int64)
     results: dict[int, SMCResult] = {}
     finalized: set[int] = set()
-    detected: set[int] = set()  # done observed (iters pinned), not yet final
-    next_tile = P
-    d = 0  # dispatches executed; state_d = state after d steps
+    next_tile = min(P, T)
+    in_flight, d_inflight = state, 0  # state_0: init's iteration-0 temper
 
-    in_flight = step_jit(pool_images, prior, model_for(pool_bg), kernel, cfg, state)
-    d_inflight = 1
-
-    while True:
+    while len(finalized) < T:
         state, d = in_flight, d_inflight
-        # drain: no queue left — flags decide between stepping again and
-        # finishing, so no speculative dispatch (its result could never
-        # be used when everything turns out done)
-        draining = next_tile >= T
-        if not draining:
-            in_flight = step_jit(
-                pool_images, prior, model_for(pool_bg), kernel, cfg, state
-            )
-            d_inflight = d + 1
-        temps = np.asarray(state.temperature)  # overlaps with in_flight
+        # speculative dispatch first so the flag transfer below overlaps
+        # the device executing it
+        in_flight = _step_jit(
+            pool_images,
+            prior,
+            _model_for(model, pool_bg, per_tile_bg),
+            kernel,
+            cfg,
+            state,
+        )
+        d_inflight = d + 1
+        temps = np.asarray(state.temperature)
 
-        done_slots = []
         for s in range(P):
             t = slot_tile[s]
-            if t < 0 or t in finalized:
+            if t < 0:
                 continue
-            if t in detected:
-                done_slots.append(s)
+            if temps[s] < 1.0 and (d - insert_step[t]) < cfg.max_smc_iters:
                 continue
-            if temps[s] >= 1.0 or (d - insert_step[t]) >= cfg.max_smc_iters:
-                iters[t] = d - insert_step[t]
-                detected.add(t)
-                done_slots.append(s)
-
-        if draining:
-            if len(done_slots) == sum(
-                1 for t in slot_tile if t >= 0 and t not in finalized
-            ):
-                # every remaining tile is done: one batched finalize
-                full = drain_finalize(state, pool_bg)
-                for s in range(P):
-                    t = slot_tile[s]
-                    if t < 0 or t in finalized:
-                        continue
-                    results[t] = SMCResult(
-                        **{
-                            f: (
-                                getattr(full, f)
-                                if f == "num_iters"
-                                else None
-                                if f == "history"
-                                else getattr(full, f)[s : s + 1]
-                            )
-                            for f in full._fields
-                        }
-                    )
-                    finalized.add(t)
-                break
-            in_flight = step_jit(
-                pool_images, prior, model_for(pool_bg), kernel, cfg, state
+            # done (or at the iteration cap): finalize from THIS state —
+            # exactly d - insert_step[t] iterations, never the
+            # speculative step already in flight
+            iters[t] = d - insert_step[t]
+            results[t] = _finalize_slot(
+                state, pool_bg, jnp.int32(s), prior, model, cfg, per_tile_bg
             )
-            d_inflight = d + 1
-            continue
-
-        for s in done_slots:
-            if next_tile >= T:
-                break  # queue exhausted mid-round; drain handles the rest
-            t = slot_tile[s]
-            # swap applies to the in-flight state: the finished tile rides
-            # one extra frozen step (csmc_step freezes done tiles), the
-            # price of pipelining the flag fetch
-            k_init = jax.random.fold_in(key, 1_000_000 + next_tile)
-            bg1 = bg[next_tile] if per_tile_bg else None
-            out, in_flight, pool_images, pool_bg = swap_slot(
-                in_flight,
-                pool_images,
-                pool_bg,
-                jnp.int32(s),
-                k_init,
-                images[next_tile],
-                bg1,
-            )
-            results[t] = out
             finalized.add(t)
-            slot_tile[s] = next_tile
-            insert_step[next_tile] = d_inflight  # first step is d_inflight+1
-            next_tile += 1
+            if next_tile < T:
+                k_init = jax.random.fold_in(key, 1_000_000 + next_tile)
+                bg1 = bg[next_tile] if per_tile_bg else None
+                in_flight, pool_images, pool_bg = _insert_slot(
+                    in_flight,
+                    pool_images,
+                    pool_bg,
+                    jnp.int32(s),
+                    k_init,
+                    images[next_tile],
+                    bg1,
+                    prior,
+                    model,
+                    cfg,
+                    per_tile_bg,
+                )
+                slot_tile[s] = next_tile
+                # the insert lands in the in-flight state: its first step
+                # is dispatch d_inflight + 1
+                insert_step[next_tile] = d_inflight
+                next_tile += 1
+            else:
+                slot_tile[s] = -1  # spent: keeps riding frozen
 
     # ------------------------------------------------------------------
     # stack per-tile results in caller order

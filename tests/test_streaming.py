@@ -252,6 +252,34 @@ class TestStreamingRunner:
         modes = np.asarray(jnp.argmax(pmf, axis=-1))
         np.testing.assert_array_equal(modes, truth)
 
+    def test_capped_tile_finalizes_at_exactly_the_cap(self):
+        """A tile that exhausts max_smc_iters with temperature < 1 must be
+        finalized from the state at the cap — not from later speculative
+        steps its slot keeps riding — matching run_csmc's loop bound."""
+        from smcdet_tpu.inference.smc import run_csmc
+        from smcdet_tpu.inference.streaming import run_csmc_streaming
+
+        images, truth, prior, model, kernel, cfg = _problem(2)
+        cfg = cfg.replace(max_smc_iters=3)  # far below convergence
+        key = jax.random.key(9)
+        gold = jax.jit(run_csmc)(key, images, prior, model, kernel, cfg)
+        got, info = run_csmc_streaming(
+            key, images, prior, model, kernel, cfg, pool=2, return_info=True
+        )
+        assert (info["per_tile_iters"] <= 3).all()
+        # identical executed sequence up to the cap
+        np.testing.assert_allclose(
+            np.asarray(got.temperature),
+            np.asarray(gold.temperature),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.log_normalizing_constant),
+            np.asarray(gold.log_normalizing_constant),
+            rtol=2e-5,
+            atol=2e-5,
+        )
+
     def test_rejects_global_iteration_configs(self):
         from smcdet_tpu.inference.streaming import run_csmc_streaming
 

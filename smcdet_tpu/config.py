@@ -93,6 +93,11 @@ class SamplerConfig:
     # process tiles in total-flux order so chunks are adaptive-tempering
     # homogeneous (exact; 1.8x frame wall on M71 — docs/PERF.md sweep)
     sort_tiles: bool = True
+    # streaming tile pool instead of fixed chunks: swap-on-converge host
+    # scheduling removes the chunk-max iteration waste entirely
+    # (inference/streaming.py); 0 pool size = the memory-model default
+    streaming: bool = False
+    streaming_pool: int = 0
 
 
 @dataclass

@@ -267,6 +267,18 @@ def run_experiment(
             run = _make_smc_aggregate_runner(
                 cfg, prior, model, kernel, smc_cfg
             )
+        elif cfg.sampler.streaming:
+            from smcdet_tpu.inference.streaming import run_csmc_streaming
+
+            if backgrounds is not None:
+                raise ValueError(
+                    "per-tile backgrounds require the per-image pipeline "
+                    "(aggregation.enabled: true)"
+                )
+            run = lambda key, imgs, bkgs=None: run_csmc_streaming(  # noqa: E731
+                key, imgs, prior, model, kernel, smc_cfg,
+                pool=cfg.sampler.streaming_pool or None,
+            )
         else:
             from smcdet_tpu.inference.smc import run_csmc_chunked
 

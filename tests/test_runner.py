@@ -123,6 +123,23 @@ class TestRunner:
         outtext = capsys.readouterr().out
         assert outtext.count("skipping") == 2
 
+    def test_streaming_runner_matches_chunked_shapes(self, tmp_path):
+        import dataclasses
+
+        cfg = tiny_config(tmp_path)
+        cfg = dataclasses.replace(
+            cfg,
+            name="tiny_stream",
+            sampler=dataclasses.replace(
+                cfg.sampler, streaming=True, streaming_pool=2
+            ),
+        )
+        out = run_experiment(cfg, method="smc")
+        results = load_results(out, "smc")
+        assert results["counts"].shape == (4, 4 * 32)
+        assert np.isfinite(results["log_normalizing_constant"]).all()
+        assert np.allclose(results["temperature"], 1.0)
+
     def test_job_sharding(self, tmp_path):
         cfg = tiny_config(tmp_path)
         run_experiment(cfg, method="smc", job_index=0, num_jobs=2)

@@ -51,6 +51,7 @@ from smcdet_tpu.inference.smc import (
     SMCConfig,
     SMCResult,
     SMCState,
+    compiled_live_bytes,
     csmc_finalize,
     csmc_init,
     csmc_step,
@@ -60,6 +61,10 @@ from smcdet_tpu.inference.smc import (
 )
 
 __all__ = ["run_csmc_streaming"]
+
+# pool shapes whose step program already passed the measured-memory check
+# this process (the AOT probe costs one duplicate compile per shape)
+_checked_pool_shapes: set = set()
 
 
 def _slot_substate(state: SMCState, slot) -> SMCState:
@@ -161,6 +166,46 @@ def _insert_slot(
     return state, pool_images, pool_bg
 
 
+def _measured_pool_check(
+    P, images, bg, per_tile_bg, prior, model, kernel, cfg, budget_bytes
+):
+    """Verify the analytic pool size against XLA's actual allocation.
+
+    Mirrors ``run_csmc_chunked``'s measured-memory feedback: AOT-compile
+    the step program at the pool shape, read ``compiled_live_bytes``, and
+    halve the pool until it fits the budget. The probe costs one
+    duplicate compile per new shape (cached per process; backends
+    without memory stats — CPU — skip immediately). Single-device only:
+    abstract lowering carries no sharding information.
+    """
+    H, W = images.shape[1], images.shape[2]
+
+    def probe(p):
+        imgs = jax.ShapeDtypeStruct((p, H, W), images.dtype)
+        if per_tile_bg:
+            bg_s = jax.ShapeDtypeStruct((p,) + bg.shape[1:], bg.dtype)
+            m = model.replace(background=bg_s)
+        else:
+            m = model
+        key_s = jax.ShapeDtypeStruct((), jax.random.key(0).dtype)
+        state_s = jax.eval_shape(csmc_init, key_s, imgs, prior, m, cfg)
+        compiled = _step_jit.lower(imgs, prior, m, kernel, cfg, state_s).compile()
+        return compiled_live_bytes(compiled)
+
+    if jax.default_backend() == "cpu":
+        return P  # CPU reports no temp stats; the probe would be wasted
+    sig = (P, H, W, cfg.num_catalogs, prior.num_counts, per_tile_bg)
+    if sig in _checked_pool_shapes:
+        return P
+    while True:
+        live = probe(P)
+        if live is None or live <= budget_bytes or P <= 1:
+            break
+        P = max(1, P // 2)
+    _checked_pool_shapes.add((P, H, W, cfg.num_catalogs, prior.num_counts, per_tile_bg))
+    return P
+
+
 def run_csmc_streaming(
     key,
     images,
@@ -220,6 +265,12 @@ def run_csmc_streaming(
 
     bg = jnp.asarray(model.background)
     per_tile_bg = is_per_tile_background(bg, T)
+
+    if n_dev == 1:
+        P = _measured_pool_check(
+            P, images, bg, per_tile_bg, prior, model, kernel, cfg,
+            budget_bytes,
+        )
 
     # ------------------------------------------------------------------
     # host scheduler (one-step pipeline: flags of state_d are fetched

@@ -280,6 +280,46 @@ class TestStreamingRunner:
             atol=2e-5,
         )
 
+    def test_measured_pool_check_halves_until_fit(self, monkeypatch):
+        """The AOT memory probe must shrink the pool when XLA's measured
+        allocation exceeds the budget (exercised with a fake meter; the
+        CPU backend reports no temp stats so the real probe is
+        TPU-only)."""
+        from smcdet_tpu.inference import streaming
+
+        images, truth, prior, model, kernel, cfg = _problem(2)
+        monkeypatch.setattr(
+            streaming.jax, "default_backend", lambda: "fake_tpu"
+        )
+        # pretend each pool slot costs 1 GiB
+        monkeypatch.setattr(
+            streaming,
+            "_step_jit",
+            type(
+                "J",
+                (),
+                {
+                    "lower": staticmethod(
+                        lambda *a, **k: type(
+                            "L", (), {"compile": staticmethod(lambda: a[0])}
+                        )
+                    )
+                },
+            ),
+        )
+        monkeypatch.setattr(
+            streaming,
+            "compiled_live_bytes",
+            lambda imgs: imgs.shape[0] * 2**30,
+        )
+        streaming._checked_pool_shapes.clear()
+        P = streaming._measured_pool_check(
+            16, images, None, False, prior, model, kernel, cfg,
+            budget_bytes=3 * 2**30,
+        )
+        assert P == 2  # 16 -> 8 -> 4 -> 2 slots x 1 GiB <= 3 GiB
+        streaming._checked_pool_shapes.clear()
+
     def test_rejects_global_iteration_configs(self):
         from smcdet_tpu.inference.streaming import run_csmc_streaming
 

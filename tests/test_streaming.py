@@ -68,6 +68,36 @@ def _problem(num_tiles, key=11):
     return jnp.stack(images), np.asarray(true_counts), prior, model, kernel, cfg
 
 
+class TestFreezeInvariant:
+    def test_stepping_a_done_tile_is_bitwise_identity(self):
+        """Streaming's speculative steps are sound ONLY because csmc_step
+        freezes tiles at temperature 1: their particles, weights, logZ,
+        ESS, and acceptance diagnostics must pass through bitwise."""
+        from smcdet_tpu.inference.smc import csmc_init, csmc_step
+
+        images, truth, prior, model, kernel, cfg = _problem(3)
+        key = jax.random.key(7)
+        state = csmc_init(key, images, prior, model, cfg)
+        # run until at least one tile is done and one is not (or all done)
+        for _ in range(cfg.max_smc_iters):
+            state = jax.jit(csmc_step)(images, prior, model, kernel, cfg, state)
+            temps = np.asarray(state.temperature)
+            if temps.max() >= 1.0:
+                break
+        assert temps.max() >= 1.0
+        done = temps >= 1.0
+        after = jax.jit(csmc_step)(images, prior, model, kernel, cfg, state)
+        for field in ("locs", "fluxes", "weights", "log_z", "ess",
+                      "acc_rate", "temperature", "loglik"):
+            before_v = np.asarray(getattr(state, field))
+            after_v = np.asarray(getattr(after, field))
+            np.testing.assert_array_equal(
+                before_v[done],
+                after_v[done],
+                err_msg=f"{field} not frozen for done tiles",
+            )
+
+
 class TestStreamingRunner:
     def test_pool_covering_batch_matches_run_csmc(self):
         """With pool >= T (no swaps) the streaming scheduler executes the

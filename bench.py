@@ -17,12 +17,74 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 REFERENCE_UPDATES_PER_SEC = 6.0e6  # BASELINE.md derived estimate (RTX 2080 Ti)
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "jax.block_until_ready(jnp.ones((64, 64)) @ jnp.ones((64, 64)))"
+)
+
+
+def wait_for_backend(
+    max_wait: float | None = None, probe_timeout: float = 120.0
+) -> None:
+    """Block until the accelerator backend answers a tiny matmul, with
+    bounded exponential backoff.
+
+    The TPU tunnel this repo benches through fails transiently in two
+    modes — backend init raising ``UNAVAILABLE`` and ``jax.devices()``
+    hanging outright — and a single transient failure at capture time
+    has previously erased a whole round's perf evidence (BENCH_r03
+    rc=1). The probe therefore runs in a *subprocess* with a hard
+    timeout (a hang in-process would be unrecoverable) and retries
+    until ``max_wait`` (env ``SMCDET_BENCH_BACKEND_WAIT``, default
+    900 s) elapses, then raises.
+    """
+    if max_wait is None:
+        max_wait = float(os.environ.get("SMCDET_BENCH_BACKEND_WAIT", "900"))
+    deadline = time.monotonic() + max_wait
+    delay = 15.0
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                timeout=probe_timeout,
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode == 0:
+                if attempt > 1:
+                    print(
+                        f"backend recovered on attempt {attempt}",
+                        file=sys.stderr,
+                    )
+                return
+            err = (proc.stderr or "").strip().splitlines()
+            reason = err[-1] if err else f"rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            reason = f"probe hung >{probe_timeout:.0f}s"
+        if time.monotonic() + delay > deadline:
+            raise RuntimeError(
+                f"accelerator backend unavailable after {attempt} probe(s) "
+                f"over {max_wait:.0f}s; last failure: {reason}"
+            )
+        print(
+            f"backend probe {attempt} failed ({reason}); "
+            f"retrying in {delay:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(delay)
+        delay = min(delay * 2, 120.0)
 
 
 def build_problem(num_tiles=16, num_catalogs=2048, mh_steps=100, max_smc_iters=100):
@@ -147,7 +209,7 @@ def main():
     updates/sec/chip (headline, vs the reference's derived 6e6/s) and
     tiles/sec-to-target-ESS (every tile finishes tempered to 1 with the
     adaptive resampler holding ESS at ess_threshold_prop x N)."""
-    import sys
+    wait_for_backend()
 
     from smcdet_tpu.inference.smc import run_csmc
 

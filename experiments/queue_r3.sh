@@ -13,7 +13,13 @@ run() {
   local rc=$?
   echo "=== stage $name done rc=$rc ==="
   tail -2 "$LOG/q_r3_$name.log"
-  return 0
+  if [ $rc -ne 0 ]; then
+    # a failed prerequisite must not let later stages run against stale
+    # or missing artifacts
+    echo "=== stage $name FAILED (rc=$rc); aborting queue ===" >&2
+    exit $rc
+  fi
+  return $rc
 }
 
 STAGES=${*:-"m71_smc m71_sep m71_mcmc m71_analyze m71_analyze_mcmc semi_gen semi_smc semi_sep semi_analyze"}

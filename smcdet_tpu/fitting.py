@@ -18,6 +18,7 @@ The result dict mirrors the reference's ``params.pkl`` keys
 
 from __future__ import annotations
 
+import warnings
 from typing import NamedTuple
 
 import jax
@@ -54,8 +55,23 @@ def fit_truncated_pareto_flux(fluxes, lower=None, upper=None):
     # fixed truncation point (e.g. the saturation limit): only the shape
     # is free. With a heavy tail (alpha ~ 0.2) the sample maximum is a
     # terrible upper-bound estimator — it fluctuates by orders of
-    # magnitude between checkerboard halves.
+    # magnitude between checkerboard halves. Samples outside the fixed
+    # support would make the NLL infinite and the fit garbage, so filter
+    # them here rather than relying on every caller to pre-mask.
     upper = float(upper)
+    in_support = (fluxes >= lower) & (fluxes <= upper)
+    if not in_support.all():
+        dropped = int((~in_support).sum())
+        warnings.warn(
+            f"fit_truncated_pareto_flux: dropping {dropped} sample(s) "
+            f"outside the fixed support [{lower:g}, {upper:g}]"
+        )
+        fluxes = fluxes[in_support]
+    if fluxes.size == 0:
+        raise ValueError(
+            "fit_truncated_pareto_flux: no samples inside the fixed "
+            f"support [{lower:g}, {upper:g}]"
+        )
     b, c, loc, scale = truncpareto.fit(
         fluxes, fc=upper / lower, floc=0.0, fscale=lower
     )

@@ -56,6 +56,7 @@ __all__ = [
     "max_tiles_per_chunk",
     "pad_tiles",
     "is_per_tile_background",
+    "normalize_per_tile_background",
     "SMCSampler",
     "SMCsampler",
 ]
@@ -484,11 +485,31 @@ def pad_tiles(leaf, n: int):
 
 
 def is_per_tile_background(background, num_tiles: int) -> bool:
-    """True when ``background`` is a per-tile map ``[T, 1, 1, H, W]``
-    (broadcast-ready against the ``[T, C, N, HW]`` particle batch) that
-    must be sliced/permuted in lockstep with the tile axis."""
+    """True when ``background`` is a per-tile map ``[T, ..., H, W]``
+    that must be sliced/permuted in lockstep with the tile axis.
+
+    Callers must pass a detected map through
+    ``normalize_per_tile_background`` before handing it to the model:
+    ``TargetContext.init_rates`` flattens the trailing ``[H, W]`` dims,
+    so a natural ``[T, h, w]`` map would become ``[T, HW]`` and
+    broadcast ``T`` against the particle axis — a silent wrong-rate
+    computation when the shapes happen to line up."""
     bg = jnp.asarray(background)
     return bg.ndim >= 3 and bg.shape[0] == num_tiles
+
+
+def normalize_per_tile_background(background):
+    """Promote a per-tile background map to the broadcast-ready rank
+    ``[T, 1, 1, h, w]`` expected against the ``[T, C, N, HW]`` particle
+    batch (after ``init_rates`` flattens the trailing image dims).
+    ``[T, h, w]`` and ``[T, 1, h, w]`` inputs are promoted; rank >= 5 is
+    assumed already broadcast-ready and passed through."""
+    bg = jnp.asarray(background)
+    if bg.ndim == 3:
+        return bg[:, None, None]
+    if bg.ndim == 4:
+        return bg[:, None]
+    return bg
 
 
 def compiled_live_bytes(compiled) -> int | None:
@@ -511,6 +532,30 @@ def compiled_live_bytes(compiled) -> int | None:
         )
     except Exception:  # backend without memory stats
         return None
+
+
+def _abstract_sig(tree):
+    """Hashable (treedef, leaf-aval) signature of a pytree: shapes,
+    dtypes, and static structure, but not array values. Non-array leaves
+    key on their ``repr`` (conservative: a changed Python-scalar leaf is
+    a cache miss, never a wrong hit)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    sig = []
+    for leaf in leaves:
+        dtype = getattr(leaf, "dtype", None)
+        if dtype is not None:
+            sig.append((getattr(leaf, "shape", None), str(dtype)))
+        else:
+            sig.append((None, repr(leaf)))
+    return treedef, tuple(sig)
+
+
+# AOT-compile memo for run_csmc_chunked: ``jit.lower().compile()``
+# bypasses jit's in-memory executable cache, so without this every
+# chunked call (one per experiment batch) re-traces and re-compiles the
+# full SMC program — multi-minute over a TPU tunnel. Values keep a
+# reference to the ``run`` jit object so its ``id`` stays valid.
+_CHUNK_AOT_CACHE: dict = {}
 
 
 def run_csmc_chunked(
@@ -586,8 +631,10 @@ def run_csmc_chunked(
     # in lockstep with the tile axis of ``images``
     bg = jnp.asarray(model.background)
     per_tile_bg = is_per_tile_background(bg, T)
-    if per_tile_bg and order is not None:
-        bg = bg[order]
+    if per_tile_bg:
+        bg = normalize_per_tile_background(bg)
+        if order is not None:
+            bg = bg[order]
 
     def model_for(bg_slice):
         return model.replace(background=bg_slice) if per_tile_bg else model
@@ -609,23 +656,43 @@ def run_csmc_chunked(
     # ``size`` so the lowered shape matches the padded chunks fed later.
     exec_run = run
     if hasattr(run, "lower"):
-        while True:
-            compiled = run.lower(
-                key,
-                pad_tiles(images, size),
-                prior,
-                model_for(pad_tiles(bg, size) if per_tile_bg else None),
-                kernel,
-                cfg,
-            ).compile()
-            live = compiled_live_bytes(compiled)
-            if live is None or live <= budget_bytes or size <= multiple:
-                break
-            half = max(1, (size // multiple) // 2) * multiple
-            if half == size:
-                break
-            size = half
-        exec_run = compiled
+        cache_key = (
+            id(run),
+            size,
+            budget_bytes,
+            _abstract_sig(
+                (
+                    images[:1],
+                    bg[:1] if per_tile_bg else None,
+                    prior,
+                    model,
+                    kernel,
+                    cfg,
+                )
+            ),
+        )
+        hit = _CHUNK_AOT_CACHE.get(cache_key)
+        if hit is not None:
+            exec_run, size = hit[0], hit[1]
+        else:
+            while True:
+                compiled = run.lower(
+                    key,
+                    pad_tiles(images, size),
+                    prior,
+                    model_for(pad_tiles(bg, size) if per_tile_bg else None),
+                    kernel,
+                    cfg,
+                ).compile()
+                live = compiled_live_bytes(compiled)
+                if live is None or live <= budget_bytes or size <= multiple:
+                    break
+                half = max(1, (size // multiple) // 2) * multiple
+                if half == size:
+                    break
+                size = half
+            exec_run = compiled
+            _CHUNK_AOT_CACHE[cache_key] = (compiled, size, run)
 
     n_chunks = -(-T // size)
     # pad the tile axis so every chunk has the same shape: a smaller last

@@ -57,6 +57,7 @@ from smcdet_tpu.inference.smc import (
     csmc_step,
     is_per_tile_background,
     max_tiles_per_chunk,
+    normalize_per_tile_background,
     pad_tiles,
 )
 
@@ -64,7 +65,9 @@ __all__ = ["run_csmc_streaming"]
 
 # pool shapes whose step program already passed the measured-memory check
 # this process (the AOT probe costs one duplicate compile per shape)
-_checked_pool_shapes: set = set()
+# requested-pool signature -> budget-verified pool size (identity when
+# no halving was needed); see _measured_pool_check
+_checked_pool_shapes: dict = {}
 
 
 def _slot_substate(state: SMCState, slot) -> SMCState:
@@ -194,15 +197,23 @@ def _measured_pool_check(
 
     if jax.default_backend() == "cpu":
         return P  # CPU reports no temp stats; the probe would be wasted
+    # key on the REQUESTED pool size and map to the verified one: when
+    # halving occurred, a repeat request at the original P must hit the
+    # cache too, not re-run the probe/halving compiles every call
     sig = (P, H, W, cfg.num_catalogs, prior.num_counts, per_tile_bg)
-    if sig in _checked_pool_shapes:
-        return P
+    cached = _checked_pool_shapes.get(sig)
+    if cached is not None:
+        return cached
+    requested = sig
     while True:
         live = probe(P)
         if live is None or live <= budget_bytes or P <= 1:
             break
         P = max(1, P // 2)
-    _checked_pool_shapes.add((P, H, W, cfg.num_catalogs, prior.num_counts, per_tile_bg))
+    _checked_pool_shapes[requested] = P
+    _checked_pool_shapes[
+        (P, H, W, cfg.num_catalogs, prior.num_counts, per_tile_bg)
+    ] = P
     return P
 
 
@@ -265,6 +276,8 @@ def run_csmc_streaming(
 
     bg = jnp.asarray(model.background)
     per_tile_bg = is_per_tile_background(bg, T)
+    if per_tile_bg:
+        bg = normalize_per_tile_background(bg)
 
     if n_dev == 1:
         P = _measured_pool_check(

@@ -85,6 +85,9 @@ class SamplerConfig:
     tile_dim: int = 8
     # prior-draw relocation sweeps per mutation (many-object mixing fix)
     relocate_sweeps: int = 0
+    # coordinated two-star pair-redistribute sweeps per mutation
+    # (split-mode fix; kernels.pair_redistribute_sweeps)
+    pair_sweeps: int = 0
     # independent CS-SMC(+aggregation) repetitions per image, pooled into
     # one particle set with log_z combined by log-mean-exp: sqrt(R)
     # variance reduction on the count pmf (the per-run logZ noise makes
@@ -121,6 +124,7 @@ class AggregationConfig:
     max_smc_iters: int = 100
     max_objects_cap: Optional[int] = None
     relocate_sweeps: int = 8
+    pair_sweeps: int = 0
 
 
 @dataclass

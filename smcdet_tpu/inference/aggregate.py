@@ -78,6 +78,13 @@ class AggregateConfig:
     # (kernels.relocate_sweeps): lets a source stuck on a tile
     # corner/boundary jump across the merge seam in one move. 0 disables.
     relocate_sweeps: int = struct.field(pytree_node=False, default=8)
+    # Coordinated two-star pair-redistribute sweeps appended to each
+    # bridge mutation (kernels.pair_redistribute_sweeps): flux transfer +
+    # re-separation of a nearby pair, the move the hardest merges need
+    # when a source split across the seam must be consolidated (the
+    # single-site kernel and the prior-draw relocation can each move only
+    # one partner, leaving residual flux that blocks the move). 0 disables.
+    pair_sweeps: int = struct.field(pytree_node=False, default=0)
 
 
 class AggregateState(NamedTuple):
@@ -425,7 +432,7 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
         )
 
     def body(carry):
-        key, k_res, k_mut, k_rel = jax.random.split(carry.key, 4)
+        key, k_res, k_mut, k_rel, k_pair = jax.random.split(carry.key, 5)
         done = carry.temperature >= 1.0
 
         # Within-stratum resampling (aggregate.py:485-521): stratum sizes
@@ -468,6 +475,18 @@ def _run_level(key, state: AggregateState, prior, model, kernel, cfg,
             n_mh = kernel.num_iters
             acc = (acc * n_mh + acc_rel * cfg.relocate_sweeps) / (
                 n_mh + cfg.relocate_sweeps
+            )
+        if cfg.pair_sweeps:
+            from smcdet_tpu.inference.kernels import (
+                pair_redistribute_sweeps,
+            )
+
+            kstate, acc_pair = pair_redistribute_sweeps(
+                k_pair, ctx, state.counts, kstate, cfg.pair_sweeps
+            )
+            n_prev = kernel.num_iters + cfg.relocate_sweeps
+            acc = (acc * n_prev + acc_pair * cfg.pair_sweeps) / (
+                n_prev + cfg.pair_sweeps
             )
         locs = jnp.where(keep[..., None, None], locs, kstate.locs)
         fluxes = jnp.where(keep[..., None], fluxes, kstate.fluxes)
@@ -535,6 +554,7 @@ class Aggregate:
         max_smc_iters=100,
         max_objects_cap=None,
         relocate_sweeps=8,
+        pair_sweeps=0,
     ):
         if resample_method not in {"multinomial", "systematic"}:
             raise ValueError(
@@ -550,6 +570,7 @@ class Aggregate:
             max_smc_iters=max_smc_iters,
             max_objects_cap=max_objects_cap,
             relocate_sweeps=relocate_sweeps,
+            pair_sweeps=pair_sweeps,
         )
         data = jnp.asarray(data, dtype=jnp.float32)
         self.num_tiles_h, self.num_tiles_w = data.shape[:2]

@@ -36,6 +36,7 @@ __all__ = [
     "SingleComponentMH",
     "SingleComponentMALA",
     "relocate_sweeps",
+    "pair_redistribute_sweeps",
 ]
 
 
@@ -581,6 +582,275 @@ def relocate_sweeps(key, ctx: TargetContext, counts, state: KernelState,
     assert state.locs.shape == locs_shape
     # fraction of applied relocations, reduced like the kernels' acc_rate
     # (mean over sweeps then particles) so callers can blend diagnostics
+    acc = applied.astype(jnp.float32).mean(0).mean(-1)
+    return state, acc
+
+
+def _flux_support(prior):
+    """(lower, upper) bounds of the flux mark's support (+-inf when
+    unbounded); used to validity-gate moves that construct fluxes
+    arithmetically instead of sampling them from the prior."""
+    if prior.flux is None:
+        return jnp.asarray(-jnp.inf), jnp.asarray(jnp.inf)
+    lo = prior.flux.support_lower
+    hi = getattr(prior.flux, "support_upper", jnp.asarray(jnp.inf))
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def pair_redistribute_sweeps(key, ctx: TargetContext, counts,
+                             state: KernelState, num_sweeps: int,
+                             select_scale: float = 2.0,
+                             displace_scale: float = 1.0,
+                             flux_conc: float = 1.0):
+    """Coordinated two-star move: virtually merge a nearby pair and
+    re-split it with a fresh flux fraction and displacement.
+
+    The documented failure mode of single-component kernels on crowded
+    tiles is the *split mode*: one bright star explained as two
+    overlapping stars (or vice versa), where no single-star move can
+    escape — moving either partner alone leaves residual flux
+    unexplained, and a death (in RJ samplers) is equally blocked
+    (docs/results/RESULTS.md, MCMC-anchor study; the reference mutates
+    with the same single-site kernel, kernel.py:7-130, and simply mixes
+    slowly). This move updates BOTH stars at once while conserving their
+    total flux and flux-weighted centroid — exactly the combination the
+    likelihood pins down — so the blocked directions (flux transfer,
+    separation) are proposed directly. Counts never change, so the move
+    is valid inside CS-SMC's fixed-count strata and the aggregation
+    bridge.
+
+    Proposal (per sweep, per catalog):
+
+    1. pick slot ``i`` uniformly over the occupied prefix; pick ``j``
+       among other occupied slots with probability
+       ``softmax(-|l_i - l_k|^2 / (2 select_scale^2))`` — overlap is
+       what the move fixes, so nearby pairs are preferred, and the
+       selection ratio is corrected exactly in the MH acceptance;
+    2. with ``f = f_i + f_j`` and centroid
+       ``c = (f_i l_i + f_j l_j) / f``, draw ``u ~ Beta(a, a)``
+       (``a = flux_conc``; 1 = uniform) and
+       ``d ~ N(0, displace_scale^2 I_2)``, and set
+       ``f_i' = u f``, ``f_j' = (1-u) f``,
+       ``l_i' = c + (1-u) d``, ``l_j' = c - u d``.
+
+    The map conserves ``(f, c)``; in coordinates
+    ``(f, u deg, c, d deg, u, d)`` (where ``u deg = f_i/f`` and
+    ``d deg = l_i - l_j`` are the current fraction/displacement) it is
+    the pure swap ``(u <-> u deg, d <-> d deg)``, so the Jacobian is
+    exactly 1 and the reverse move's auxiliary draws are
+    ``u* = f_i/f``, ``d* = l_i - l_j``. The acceptance ratio is the
+    tempered target ratio times the pair-selection ratio (evaluated at
+    new vs old locations) times ``q(u*) q(d*) / q(u) q(d)``. Moves whose
+    children leave the location box or the flux support are rejected
+    outright (the uniform location prior and the flux support make the
+    target zero there).
+    """
+    prior = ctx.prior
+    eff = jnp.asarray(ctx.model.adu_per_nmgy)
+    M = state.fluxes.shape[-1]
+    batchN = counts.shape
+    locs_shape = state.locs.shape
+    flux_lo, flux_hi = _flux_support(prior)
+    inv2s2 = 1.0 / (2.0 * float(select_scale) ** 2)
+    neg = jnp.finfo(jnp.float32).min
+    a_conc = float(flux_conc)
+    occupied = jnp.arange(M) < counts[..., None]  # [..., N, M]
+
+    def pair_logits(all_locs, loc_a, exclude):
+        """Selection logits from star ``a`` to every other occupied slot."""
+        d2 = ((all_locs - loc_a[..., None, :]) ** 2).sum(-1)  # [..., N, M]
+        return jnp.where(occupied & ~exclude, -d2 * inv2s2, neg)
+
+    def log_beta_pdf(u):
+        if a_conc == 1.0:
+            return jnp.zeros_like(u)
+        from jax.scipy.stats import beta as beta_dist
+
+        return beta_dist.logpdf(u, a_conc, a_conc)
+
+    def sweep(st: KernelState, k):
+        locs, fluxes = st.locs, st.fluxes
+        k_i, k_j, k_u, k_d, k_acc = jax.random.split(k, 5)
+        active = counts >= 2
+
+        # slot i: uniform over the occupied prefix
+        u_i = jax.random.uniform(k_i, batchN)
+        i = jnp.clip(
+            jnp.floor(u_i * counts).astype(jnp.int32), 0, counts - 1
+        )
+        onehot_i = jnp.arange(M) == i[..., None]
+        loc_i = _take_slot(locs, onehot_i)
+        f_i = _take_slot(fluxes, onehot_i)
+
+        # slot j: proximity softmax via Gumbel-max
+        logits_i = pair_logits(locs, loc_i, onehot_i)
+        g = jax.random.gumbel(k_j, logits_i.shape)
+        j = jnp.argmax(logits_i + g, axis=-1).astype(jnp.int32)
+        onehot_j = jnp.arange(M) == j[..., None]
+        loc_j = _take_slot(locs, onehot_j)
+        f_j = _take_slot(fluxes, onehot_j)
+
+        # forward selection: log[p(i,j) + p(j,i)] (the 1/n factor cancels
+        # between forward and reverse). w_ij = w_ji, so this is
+        # log w_ij + log(1/Z_i + 1/Z_j).
+        logits_j = pair_logits(locs, loc_j, onehot_j)
+        logZ_i = jax.scipy.special.logsumexp(logits_i, axis=-1)
+        logZ_j = jax.scipy.special.logsumexp(logits_j, axis=-1)
+        log_w = -((loc_i - loc_j) ** 2).sum(-1) * inv2s2
+        log_sel_fwd = log_w + jnp.logaddexp(-logZ_i, -logZ_j)
+
+        # merge invariants and fresh split
+        f_tot = f_i + f_j
+        safe_tot = jnp.maximum(f_tot, jnp.finfo(jnp.float32).tiny)
+        cent = (
+            f_i[..., None] * loc_i + f_j[..., None] * loc_j
+        ) / safe_tot[..., None]
+        u = jax.random.beta(k_u, a_conc, a_conc, batchN)
+        d = displace_scale * jax.random.normal(k_d, batchN + (2,))
+        f_i_new = u * f_tot
+        f_j_new = (1.0 - u) * f_tot
+        loc_i_new = cent + (1.0 - u)[..., None] * d
+        loc_j_new = cent - u[..., None] * d
+
+        # reverse auxiliaries recovering the current state
+        u_star = f_i / safe_tot
+        d_star = loc_i - loc_j
+
+        def in_box(loc):
+            return (
+                (loc >= prior.loc_low) & (loc <= prior.loc_high)
+            ).all(-1)
+
+        valid = (
+            active
+            & (f_tot > 0)
+            & in_box(loc_i_new)
+            & in_box(loc_j_new)
+            & (f_i_new >= flux_lo)
+            & (f_i_new <= flux_hi)
+            & (f_j_new >= flux_lo)
+            & (f_j_new <= flux_hi)
+            & (u_star > 0.0)
+            & (u_star < 1.0)
+        )
+
+        # reverse selection at the proposed locations
+        always = jnp.ones(batchN, bool)
+        locs_prop = _apply_slot_update(locs, onehot_i, loc_i_new, always)
+        locs_prop = _apply_slot_update(locs_prop, onehot_j, loc_j_new, always)
+        logits_i_rev = pair_logits(locs_prop, loc_i_new, onehot_i)
+        logits_j_rev = pair_logits(locs_prop, loc_j_new, onehot_j)
+        logZ_i_rev = jax.scipy.special.logsumexp(logits_i_rev, axis=-1)
+        logZ_j_rev = jax.scipy.special.logsumexp(logits_j_rev, axis=-1)
+        log_w_rev = -(d**2).sum(-1) * inv2s2  # |l_i' - l_j'| = |d|
+        log_sel_rev = log_w_rev + jnp.logaddexp(-logZ_i_rev, -logZ_j_rev)
+
+        # auxiliary-density ratio (Jacobian is exactly 1)
+        eps = 1e-6
+        u_star_safe = jnp.where(valid, jnp.clip(u_star, eps, 1 - eps), 0.5)
+        u_safe = jnp.clip(u, eps, 1 - eps)
+        log_q_aux = (
+            log_beta_pdf(u_star_safe)
+            - log_beta_pdf(u_safe)
+            + ((d**2).sum(-1) - (d_star**2).sum(-1))
+            / (2.0 * float(displace_scale) ** 2)
+        )
+
+        # flux-prior delta (the uniform location terms are constant
+        # inside the box; out-of-box is handled by ``valid``)
+        if prior.flux is not None:
+            ref = prior.flux.reference_point
+            sf_i = jnp.where(valid, f_i, ref)
+            sf_j = jnp.where(valid, f_j, ref)
+            sf_i_new = jnp.where(valid, f_i_new, ref)
+            sf_j_new = jnp.where(valid, f_j_new, ref)
+            lp_delta = jnp.where(
+                valid,
+                prior.flux.log_prob(sf_i_new)
+                + prior.flux.log_prob(sf_j_new)
+                - prior.flux.log_prob(sf_i)
+                - prior.flux.log_prob(sf_j),
+                0.0,
+            )
+        else:
+            lp_delta = jnp.zeros(batchN)
+
+        # incremental rate update: four single-star renders
+        side_i = (
+            _take_slot(ctx.child_slot_side, onehot_i)
+            if ctx.child_slot_side is not None
+            else None
+        )
+        side_j = (
+            _take_slot(ctx.child_slot_side, onehot_j)
+            if ctx.child_slot_side is not None
+            else None
+        )
+        img_i_old, child_i_old = ctx.star_images(loc_i, side_i)
+        img_j_old, child_j_old = ctx.star_images(loc_j, side_j)
+        img_i_new, child_i_new = ctx.star_images(loc_i_new, side_i)
+        img_j_new, child_j_new = ctx.star_images(loc_j_new, side_j)
+        v = valid[..., None]
+        dparent = eff * (
+            f_i_new[..., None] * img_i_new
+            + f_j_new[..., None] * img_j_new
+            - f_i[..., None] * img_i_old
+            - f_j[..., None] * img_j_old
+        )
+        rate_prop = st.rate + jnp.where(v, dparent, 0.0)
+        if st.child_rate is not None:
+            dchild = eff * (
+                f_i_new[..., None] * child_i_new
+                + f_j_new[..., None] * child_j_new
+                - f_i[..., None] * child_i_old
+                - f_j[..., None] * child_j_old
+            )
+            child_rate_prop = st.child_rate + jnp.where(v, dchild, 0.0)
+        else:
+            child_rate_prop = None
+
+        parent_ll_prop, child_ll_prop = ctx.loglik_terms(
+            rate_prop, child_rate_prop
+        )
+        logprior_prop = st.logprior + lp_delta
+
+        log_alpha = (
+            ctx.combine(logprior_prop, parent_ll_prop, child_ll_prop)
+            - ctx.combine(st.logprior, st.parent_ll, st.child_ll)
+            + log_sel_rev
+            - log_sel_fwd
+            + log_q_aux
+        )
+        u_acc = jax.random.uniform(k_acc, batchN)
+        apply = valid & (u_acc <= jnp.exp(jnp.minimum(log_alpha, 0.0)))
+
+        a_px = apply[..., None]
+        locs_out = _apply_slot_update(locs, onehot_i, loc_i_new, apply)
+        locs_out = _apply_slot_update(locs_out, onehot_j, loc_j_new, apply)
+        fluxes_out = _apply_slot_update(fluxes, onehot_i, f_i_new, apply)
+        fluxes_out = _apply_slot_update(fluxes_out, onehot_j, f_j_new, apply)
+        new_state = KernelState(
+            locs=locs_out,
+            fluxes=fluxes_out,
+            rate=jnp.where(a_px, rate_prop, st.rate),
+            child_rate=(
+                None
+                if st.child_rate is None
+                else jnp.where(a_px, child_rate_prop, st.child_rate)
+            ),
+            parent_ll=jnp.where(apply, parent_ll_prop, st.parent_ll),
+            child_ll=(
+                None
+                if st.child_ll is None
+                else jnp.where(apply, child_ll_prop, st.child_ll)
+            ),
+            logprior=jnp.where(apply, logprior_prop, st.logprior),
+        )
+        return new_state, apply
+
+    keys = jax.random.split(key, num_sweeps)
+    state, applied = jax.lax.scan(lambda st, k: sweep(st, k), state, keys)
+    assert state.locs.shape == locs_shape
     acc = applied.astype(jnp.float32).mean(0).mean(-1)
     return state, acc
 

@@ -91,6 +91,15 @@ class SMCConfig:
     # tile-level analogue; its bridge-level counterpart is
     # aggregate relocate_sweeps).
     relocate_sweeps: int = struct.field(pytree_node=False, default=0)
+    # Coordinated two-star pair-redistribute sweeps appended to each
+    # mutation (kernels.pair_redistribute_sweeps): virtually merge a
+    # nearby pair and re-split it with fresh flux fraction +
+    # displacement, conserving total flux and centroid — the cure for
+    # the split-mode pathology (one bright star explained as two
+    # overlapping ones) that single-component moves cannot escape.
+    # 0 disables (the reference has no analogue; its single-site kernel
+    # simply mixes slowly there, kernel.py:7-130).
+    pair_sweeps: int = struct.field(pytree_node=False, default=0)
 
 
 class SMCState(NamedTuple):
@@ -322,6 +331,7 @@ def csmc_step(images, prior, model, kernel, cfg: SMCConfig, state) -> SMCState:
     kstate, acc_rate = kernel.run_from_state(
         k_mut, ctx, counts_b, kstate_in
     )
+    n_extra = 0
     if cfg.relocate_sweeps:
         from smcdet_tpu.inference.kernels import relocate_sweeps
 
@@ -333,6 +343,18 @@ def csmc_step(images, prior, model, kernel, cfg: SMCConfig, state) -> SMCState:
         acc_rate = (
             acc_rate * n_mh + acc_rel * cfg.relocate_sweeps
         ) / (n_mh + cfg.relocate_sweeps)
+        n_extra += cfg.relocate_sweeps
+    if cfg.pair_sweeps:
+        from smcdet_tpu.inference.kernels import pair_redistribute_sweeps
+
+        key, k_pair = jax.random.split(key)
+        kstate, acc_pair = pair_redistribute_sweeps(
+            k_pair, ctx, counts_b, kstate, cfg.pair_sweeps
+        )
+        n_prev = kernel.num_iters + n_extra
+        acc_rate = (
+            acc_rate * n_prev + acc_pair * cfg.pair_sweeps
+        ) / (n_prev + cfg.pair_sweeps)
     locs = jnp.where(keep[..., None, None], state.locs, kstate.locs)
     fluxes = jnp.where(keep[..., None], state.fluxes, kstate.fluxes)
     loglik = jnp.where(keep, state.loglik, kstate.parent_ll)
@@ -751,6 +773,7 @@ class SMCSampler:
         max_smc_iters=100,
         print_every=0,
         relocate_sweeps=0,
+        pair_sweeps=0,
     ):
         self.image = jnp.asarray(image, dtype=jnp.float32)
         self.image_height, self.image_width = self.image.shape
@@ -771,6 +794,7 @@ class SMCSampler:
             flux_detection_threshold=flux_detection_threshold,
             print_every=print_every,
             relocate_sweeps=relocate_sweeps,
+            pair_sweeps=pair_sweeps,
         )
         self.result: SMCResult | None = None
 

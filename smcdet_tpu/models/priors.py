@@ -129,6 +129,10 @@ class NormalFlux:
     def support_lower(self):
         return jnp.asarray(-jnp.inf)
 
+    @property
+    def support_upper(self):
+        return jnp.asarray(jnp.inf)
+
 
 @struct.dataclass
 class ParetoFlux:
@@ -158,6 +162,10 @@ class ParetoFlux:
     def support_lower(self):
         return jnp.asarray(self.scale)
 
+    @property
+    def support_upper(self):
+        return jnp.asarray(jnp.inf)
+
 
 # TruncatedPareto (distributions.py) already provides sample/log_prob; give it
 # the reference-point hook used to evaluate masked slots safely.
@@ -167,6 +175,9 @@ def _truncated_pareto_reference_point(self):
 
 TruncatedPareto.reference_point = property(_truncated_pareto_reference_point)
 TruncatedPareto.support_lower = property(_truncated_pareto_reference_point)
+TruncatedPareto.support_upper = property(
+    lambda self: jnp.asarray(self.upper)
+)
 
 
 # ----------------------------------------------------------------------

@@ -133,6 +133,7 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
                 flux_detection_threshold=smc_cfg.flux_detection_threshold,
                 max_smc_iters=smc_cfg.max_smc_iters,
                 relocate_sweeps=smc_cfg.relocate_sweeps,
+                pair_sweeps=smc_cfg.pair_sweeps,
             )
             sampler.run(k_smc)
             agg = Aggregate.from_smc(
@@ -142,6 +143,7 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
                 max_smc_iters=cfg.aggregation.max_smc_iters,
                 max_objects_cap=cfg.aggregation.max_objects_cap,
                 relocate_sweeps=cfg.aggregation.relocate_sweeps,
+                pair_sweeps=cfg.aggregation.pair_sweeps,
             )
             agg.run(k_agg)
             jax.block_until_ready(agg.state.counts)
@@ -262,6 +264,7 @@ def run_experiment(
             max_smc_iters=cfg.sampler.max_smc_iters,
             flux_detection_threshold=cfg.sampler.flux_detection_threshold,
             relocate_sweeps=cfg.sampler.relocate_sweeps,
+            pair_sweeps=cfg.sampler.pair_sweeps,
         )
         if cfg.aggregation.enabled:
             run = _make_smc_aggregate_runner(

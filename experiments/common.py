@@ -32,8 +32,8 @@ from smcdet_tpu.config import load_config
 # jax.distributed.initialize() (the --distributed path) refuses to run.
 
 
-def experiment_config(script_path):
-    return load_config(Path(script_path).parent / "config.yaml")
+def experiment_config(script_path, config_name: str = "config.yaml"):
+    return load_config(Path(script_path).parent / config_name)
 
 
 def run_cli(script_path, method: str):
@@ -42,13 +42,30 @@ def run_cli(script_path, method: str):
     parser.add_argument("--num-jobs", type=int, default=1)
     parser.add_argument("--num-images", type=int, default=None)
     parser.add_argument(
+        "--config",
+        default="config.yaml",
+        help="alternate config file in the experiment directory (e.g. "
+        "config_mis.yaml for the misspecified-PSF M71 variant)",
+    )
+    parser.add_argument(
         "--distributed",
         action="store_true",
         help="bootstrap the multi-host process group from the standard "
         "env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
         "JAX_PROCESS_ID); each process then runs its own image shard",
     )
+    parser.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (the axon TPU plugin overrides the "
+        "JAX_PLATFORMS env var, so an env var alone cannot)",
+    )
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.distributed:
         # must precede the runner import (which initializes the backend)
@@ -58,7 +75,7 @@ def run_cli(script_path, method: str):
 
     from smcdet_tpu.runner import run_experiment
 
-    cfg = experiment_config(script_path)
+    cfg = experiment_config(script_path, args.config)
     if args.num_images is not None:
         cfg.num_images = args.num_images
     out = run_experiment(

@@ -29,9 +29,12 @@ saturation threshold and get masked, as in the real field.
 
 Rendering uses the exact patch-truncated PSF profile of
 ``models/imaging.py:92-103`` (radius-8 17x17 patches, pixel centres at
-+0.5), so downstream inference is *well-specified* — by design: this
-validates the full pipeline; it intentionally cannot reproduce the
-reference's real-data PSF-misspecification finding (NETWORK.md).
++0.5), so downstream inference is *well-specified* by default — this
+validates the full pipeline. ``--psf-misspec {elliptical,varying}``
+instead renders with a PSF *outside* the circular 6-parameter inference
+family (same seed => identical star field), reproducing the mechanism of
+the reference's real-data PSF-misspecification finding offline
+(manuscript.tex:686-688; the real bytes are unreachable, NETWORK.md).
 """
 
 import argparse
@@ -86,28 +89,99 @@ def sample_truncated_pareto(rng, n, alpha=FLUX_ALPHA, lo=FLUX_LOWER,
     return (la - u * (la - ua)) ** (-1.0 / alpha)
 
 
+def sdss_psf_unnorm(r2, params=TRUE_PSF):
+    """The 6-parameter SDSS profile (models/psf.SDSSPSF formula)."""
+    s1, s2, sp, beta, b, p0 = params
+    t1 = np.exp(-r2 / (2.0 * s1))
+    t2 = b * np.exp(-r2 / (2.0 * s2))
+    t3 = p0 * (1.0 + r2 / (beta * sp)) ** (-beta / 2.0)
+    return (t1 + t2 + t3) / (1.0 + b + p0)
+
+
 def sdss_psf_normalized(r2, params=TRUE_PSF, radius=PSF_RADIUS):
     """models/psf.SDSSPSF.normalized in numpy (identical formula + the
     32r x 32r-grid normalising constant, reference images.py:122-141)."""
-    s1, s2, sp, beta, b, p0 = params
-
-    def unnorm(r2):
-        t1 = np.exp(-r2 / (2.0 * s1))
-        t2 = b * np.exp(-r2 / (2.0 * s2))
-        t3 = p0 * (1.0 + r2 / (beta * sp)) ** (-beta / 2.0)
-        return (t1 + t2 + t3) / (1.0 + b + p0)
-
     side = 32 * radius
     coords = np.arange(side, dtype=np.float64) - side / 2.0 + 0.5
-    const = unnorm(coords[:, None] ** 2 + coords[None, :] ** 2).sum()
-    return unnorm(r2) / const
+    const = sdss_psf_unnorm(
+        coords[:, None] ** 2 + coords[None, :] ** 2, params
+    ).sum()
+    return sdss_psf_unnorm(r2, params) / const
 
 
-def render_stars(rows, cols, fluxes_nmgy, nelec_per_nmgy):
+# --- misspecified rendering PSFs (outside the inference family) ---------
+# Mechanism study for the reference's real-data finding: spurious
+# intermediate-magnitude detections + poorly calibrated total fluxes,
+# theorized to come from the 6-parameter circular PSF being "not flexible
+# enough" or its parameters "vary[ing] across M71"
+# (/root/reference/manuscript/manuscript.tex:686-688). Both theorized
+# mechanisms are available:
+#  - "elliptical": a fixed anisotropic metric q*u^2 + v^2/q at angle
+#    THETA. The inference family is circularly symmetric, so no parameter
+#    setting can absorb the azimuthal structure.
+#  - "varying": circular profile whose core widths drift linearly across
+#    the target region (+-15% over the 320-px height); a single MLE is
+#    wrong for most cutouts.
+ELL_Q = 1.15
+ELL_THETA = np.deg2rad(30.0)
+VARY_FRAC = 0.15
+
+
+def elliptical_metric(dy, dx, q=ELL_Q, theta=ELL_THETA):
+    c, s = np.cos(theta), np.sin(theta)
+    u = c * dy + s * dx
+    v = -s * dy + c * dx
+    return q * u**2 + v**2 / q
+
+
+def psf_eval_factory(misspec):
+    """Returns psf(dy, dx, row, col) -> normalized patch values.
+
+    The normalising constant is recomputed on the same distorted metric
+    (32r x 32r grid) so total rendered flux stays calibrated — the
+    misspecification is purely in the SHAPE, not the photometric scale.
+    """
+    side = 32 * PSF_RADIUS
+    coords = np.arange(side, dtype=np.float64) - side / 2.0 + 0.5
+    gy, gx = coords[:, None], coords[None, :]
+
+    if misspec == "none":
+
+        def psf(dy, dx, row, col):
+            return sdss_psf_normalized(dy[:, None] ** 2 + dx[None, :] ** 2)
+
+    elif misspec == "elliptical":
+        const = sdss_psf_unnorm(elliptical_metric(gy, gx)).sum()
+
+        def psf(dy, dx, row, col):
+            m = elliptical_metric(dy[:, None], dx[None, :])
+            return sdss_psf_unnorm(m) / const
+
+    elif misspec == "varying":
+
+        def psf(dy, dx, row, col):
+            # core widths scale with frame row: -VARY_FRAC at the region
+            # top to +VARY_FRAC at the bottom (clipped outside)
+            t = np.clip((row - REGION_Y0) / REGION_H, 0.0, 1.0)
+            scale = 1.0 + VARY_FRAC * (2.0 * t - 1.0)
+            s1, s2, sp, beta, b, p0 = TRUE_PSF
+            params = (s1 * scale, s2 * scale, sp, beta, b, p0)
+            const = sdss_psf_unnorm(gy**2 + gx**2, params).sum()
+            r2 = dy[:, None] ** 2 + dx[None, :] ** 2
+            return sdss_psf_unnorm(r2, params) / const
+
+    else:
+        raise ValueError(f"unknown misspec mode {misspec!r}")
+    return psf
+
+
+def render_stars(rows, cols, fluxes_nmgy, nelec_per_nmgy, psf=None):
     """Patch-truncated PSF render into a full frame (electron units),
     mirroring models/imaging.py:92-118: pixel (h, w) receives flux iff
     |h - floor(ly)| <= r and |w - floor(lx)| <= r, distances to pixel
     centres at +0.5."""
+    if psf is None:
+        psf = psf_eval_factory("none")
     frame = np.zeros((FRAME_H, FRAME_W), dtype=np.float64)
     r = PSF_RADIUS
     off = np.arange(-r, r + 1)
@@ -122,8 +196,9 @@ def render_stars(rows, cols, fluxes_nmgy, nelec_per_nmgy):
         hh, ww = hh[hv], ww[wv]
         dy = (hh + 0.5) - row
         dx = (ww + 0.5) - col
-        r2 = dy[:, None] ** 2 + dx[None, :] ** 2
-        frame[np.ix_(hh, ww)] += f * nelec_per_nmgy * sdss_psf_normalized(r2)
+        frame[np.ix_(hh, ww)] += (
+            f * nelec_per_nmgy * psf(dy, dx, row, col)
+        )
     return frame
 
 
@@ -131,8 +206,18 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--data-dir", default=str(Path(__file__).parent / "data"))
     parser.add_argument("--seed", type=int, default=6838)  # NGC 6838
+    parser.add_argument(
+        "--psf-misspec",
+        choices=("none", "elliptical", "varying"),
+        default="none",
+        help="render with a PSF outside the circular 6-parameter "
+        "inference family (same seed => identical star field, so the "
+        "comparison against the well-specified fixture isolates the "
+        "PSF effect)",
+    )
     args = parser.parse_args()
     rng = np.random.default_rng(args.seed)
+    psf_render = psf_eval_factory(args.psf_misspec)
 
     data_dir = Path(args.data_dir)
     d2 = data_dir / "sdss" / str(RUN) / str(CAMCOL)
@@ -205,7 +290,7 @@ def main():
     # 2. frames: stars + spatially varying sky + Gaussian read noise
     # ------------------------------------------------------------------
     nelec_per_nmgy = float(GAINS[RBAND] / CALIB_NMGY_PER_COUNT)
-    stars_e = render_stars(rows, cols, fluxes, nelec_per_nmgy)
+    stars_e = render_stars(rows, cols, fluxes, nelec_per_nmgy, psf=psf_render)
 
     # ALLSKY grid in counts with a smooth ~8% gradient (the real field's
     # sky varies slowly across the frame)
@@ -330,6 +415,14 @@ def main():
                 "noise_additive": NOISE_ADD,
                 "sky_counts": SKY_COUNTS,
                 "seed": args.seed,
+                "psf_misspec": args.psf_misspec,
+                "psf_misspec_params": (
+                    {"q": ELL_Q, "theta_deg": 30.0}
+                    if args.psf_misspec == "elliptical"
+                    else {"vary_frac": VARY_FRAC}
+                    if args.psf_misspec == "varying"
+                    else {}
+                ),
             },
             f,
             sort_keys=False,

@@ -175,6 +175,21 @@ def main():
     padded_counts = np.zeros(th * tw, dtype=np.int64)
     padded_locs = np.zeros((th * tw, max_padded, 2))
     padded_fluxes = np.zeros((th * tw, max_padded))
+    # render-reach catalogs: every catalog star whose radius-8 render
+    # patch can deposit photons into the tile (window [-9, 17) around the
+    # tile, a strict superset of the padded window). Stars 4-8 px outside
+    # a tile are OUTSIDE the padded window but still light it up — the
+    # m71 pixels carry their photons while the padded-catalog
+    # semisynthetic render does not, which is one candidate cause of the
+    # real-pixels coverage gap (the m71ss_reach ablation measures it).
+    # Uses locs_all (the full-frame catalog), not locs_region: for
+    # region-boundary tiles the neighbors can sit outside the region.
+    reach = 9.0
+    max_reach = 96
+    locs_frame = locs_all - [REGION_Y0, REGION_X0]
+    reach_counts = np.zeros(th * tw, dtype=np.int64)
+    reach_locs = np.zeros((th * tw, max_reach, 2))
+    reach_fluxes = np.zeros((th * tw, max_reach))
     for t in range(th * tw):
         ty, tx = (t // tw) * TILE, (t % tw) * TILE
         rel = locs_region - [ty, tx]
@@ -188,6 +203,18 @@ def main():
         padded_counts[t] = sel.size
         padded_locs[t, : sel.size] = rel[sel]
         padded_fluxes[t, : sel.size] = fluxes_region[sel]
+
+        rel_f = locs_frame - [ty, tx]
+        in_reach = (
+            (rel_f[:, 0] >= -reach)
+            & (rel_f[:, 0] < TILE + reach)
+            & (rel_f[:, 1] >= -reach)
+            & (rel_f[:, 1] < TILE + reach)
+        )
+        sel_r = np.flatnonzero(in_reach)[:max_reach]
+        reach_counts[t] = sel_r.size
+        reach_locs[t, : sel_r.size] = rel_f[sel_r]
+        reach_fluxes[t, : sel_r.size] = fluxes_all[sel_r]
 
     # ------------------------------------------------------------------
     # 3. hyperparameter fitting
@@ -260,6 +287,9 @@ def main():
         padded_counts=padded_counts[keep],
         padded_locs=padded_locs[keep],
         padded_fluxes=padded_fluxes[keep],
+        reach_counts=reach_counts[keep],
+        reach_locs=reach_locs[keep],
+        reach_fluxes=reach_fluxes[keep],
         tile_index=np.flatnonzero(keep),
     )
     params = {

@@ -34,14 +34,37 @@ def main():
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--num-images", type=int, default=None)
+    parser.add_argument(
+        "--catalog",
+        choices=("padded", "intile", "reach"),
+        default="padded",
+        help="which truth window to render: the 4-px padded catalogs "
+        "(default; neighbour spill-over like the real pixels), only "
+        "in-tile stars (the no-spill ablation), or every star within "
+        "radius-8 render reach (the full real-pixels photon budget; "
+        "requires reach_* arrays from experiments/m71/prepare_data.py)",
+    )
+    parser.add_argument(
+        "--config",
+        default="config.yaml",
+        help="alternate config naming the ablation output "
+        "(config_nospill.yaml / config_reach.yaml)",
+    )
     args = parser.parse_args()
 
+    import os
+
     import jax
+
+    # one batched render: per-call tunnel latency dwarfs the compute, so
+    # stay off the (flaky) TPU tunnel unless explicitly asked
+    if os.environ.get("SMCDET_GEN_TPU") != "1":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from smcdet_tpu.config import build_image_model
 
-    cfg = experiment_config(__file__)
+    cfg = experiment_config(__file__, args.config)
     if not M71_TILES.exists():
         raise FileNotFoundError(
             f"{M71_TILES} missing — run experiments/m71/prepare_data.py "
@@ -54,8 +77,11 @@ def main():
 
     model = build_image_model(cfg.image_model)
     backgrounds = jnp.asarray(m71["background"][:n], dtype=jnp.float32)
-    locs = jnp.asarray(m71["padded_locs"][:n], dtype=jnp.float32)
-    fluxes = jnp.asarray(m71["padded_fluxes"][:n], dtype=jnp.float32)
+    src_key = {"padded": "padded", "intile": "true", "reach": "reach"}[
+        args.catalog
+    ]
+    locs = jnp.asarray(m71[f"{src_key}_locs"][:n], dtype=jnp.float32)
+    fluxes = jnp.asarray(m71[f"{src_key}_fluxes"][:n], dtype=jnp.float32)
 
     key = jax.random.key(cfg.seed)
     images = model.replace(background=backgrounds).sample(key, locs, fluxes)

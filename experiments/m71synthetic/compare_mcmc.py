@@ -50,6 +50,12 @@ def main():
     parser.add_argument("--thin", type=int, default=2)
     parser.add_argument("--reps", type=int, default=1,
                         help="independent chains per image (pooled)")
+    parser.add_argument(
+        "--split-merge", action="store_true",
+        help="enable the coordinated split/merge proposals in the RJ "
+        "anchor (inference/transdimensional.py) — the cure for the "
+        "bright-star split modes (see split_mode_study.py)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -89,7 +95,12 @@ def main():
     from smcdet_tpu.inference.mcmc import run_rjmh
     from smcdet_tpu.inference.transdimensional import BirthDeathMH
 
-    rj_kernel = BirthDeathMH(num_iters=1, move=kernel)
+    rj_kernel = BirthDeathMH(
+        num_iters=1,
+        move=kernel,
+        prob_split=0.15 if args.split_merge else 0.0,
+        prob_merge=0.15 if args.split_merge else 0.0,
+    )
 
     print(f"MCMC: {n} images x {args.reps} chains x {args.num_samples} samples ...")
     run = jax.jit(lambda k, im: run_mh(k, im, prior, model, kernel, mc_cfg))

@@ -1,0 +1,108 @@
+#!/bin/bash
+# Round-4 TPU evidence queue. Runs after the watchdog's on-chip
+# validation queue (/tmp/r4_tpu_queue.done: pallas tests, bench
+# quick/full, streaming-pool sweep) and produces the remaining VERDICT-r3
+# evidence:
+#   1. roofline of the fused sweep kernel (fresh bench number)
+#   2. bright-star split-mode study (MH vs RJ vs RJ+split/merge)
+#   3. misspecified-PSF M71 runs (elliptical + varying) + analyses
+#   4. calibration-decomposition ablations (no-spill / render-reach)
+#   5. cells pair-move rerun (confusion asymmetry)
+#   6. D&C pooled-convergence effort ladder
+# Stages are independent: a failure logs rc and the queue moves on.
+# Logs: /tmp/r4_queue2.log + /tmp/r4_q2_<stage>.log.
+set -u
+cd /root/repo
+
+while [ ! -f /tmp/r4_tpu_queue.done ]; do sleep 120; done
+# let the serial CPU validation chain finish first (bounded: if it
+# wedged, proceed anyway after 3 h — its targets are also this queue's
+# first failures, so nothing is lost)
+n=0
+while [ ! -f /tmp/r4_cpu_validate.done ] && [ $n -lt 90 ]; do
+  sleep 120
+  n=$((n + 1))
+done
+echo "$(date -u) queue2 start (validate done: $([ -f /tmp/r4_cpu_validate.done ] && echo yes || echo timeout))" >> /tmp/r4_queue2.log
+
+run_stage() {
+  local name=$1 tmo=$2 dir=$3
+  shift 3
+  echo "$(date -u) stage $name: $*" >> /tmp/r4_queue2.log
+  (cd "$dir" && timeout "$tmo" "$@") > "/tmp/r4_q2_${name}.log" 2>&1
+  echo "$(date -u) stage $name rc=$?" >> /tmp/r4_queue2.log
+}
+
+# 1. roofline, fed the fresh full-bench updates/s when available
+UPS=$(python - <<'PY'
+import json
+val = ""
+try:
+    for line in open("/tmp/r4_bench_full.log"):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                d = json.loads(line)
+                if d.get("unit", "").startswith("updates/s"):
+                    val = d["value"]
+            except Exception:
+                pass
+except Exception:
+    pass
+print(val)
+PY
+)
+if [ -n "$UPS" ]; then
+  run_stage roofline 1800 /root/repo python experiments/roofline.py --updates-per-s "$UPS"
+else
+  run_stage roofline 1800 /root/repo python experiments/roofline.py
+fi
+
+# 2. split-mode study (task 3 evidence, RJ anchor on the 727-nmgy image)
+run_stage splitmode 5400 /root/repo/experiments/m71synthetic \
+  python split_mode_study.py
+
+# 3. misspecified-PSF M71 (task 4): SMC + SEP + analysis, both variants.
+# analyze.py reads the truth from <results_dir>/tiles.npz (the round-3
+# m71 protocol copies it in first).
+for v in mis vary; do
+  run_stage "m71_${v}_smc" 5400 /root/repo/experiments/m71 \
+    python run_smc.py --config "config_${v}.yaml"
+  run_stage "m71_${v}_sep" 1800 /root/repo/experiments/m71 \
+    python run_sep.py --config "config_${v}.yaml"
+  run_stage "m71_${v}_analyze" 1800 /root/repo/experiments/m71 \
+    bash -c "mkdir -p output/m71_${v} && cp data_${v}/m71/tiles.npz \
+      output/m71_${v}/tiles.npz && python ../analyze.py output/m71_${v}"
+  run_stage "m71_${v}_psfcmp" 1800 /root/repo/experiments/m71 \
+    python psf_comparison.py --config "config_${v}.yaml"
+done
+
+# 3b. cross-variant misspecification comparison (pure numpy analysis)
+run_stage misspec_study 1800 /root/repo/experiments/m71 \
+  python misspec_study.py
+
+# 4. calibration-decomposition ablations (task 8)
+for v in nospill reach; do
+  run_stage "ss_${v}_smc" 5400 /root/repo/experiments/m71semisynthetic \
+    python run_smc.py --config "config_${v}.yaml"
+  run_stage "ss_${v}_analyze" 1800 /root/repo/experiments/m71semisynthetic \
+    python ../analyze.py "output/m71ss_${v}" --method smc
+done
+
+# 5. cells pair-move rerun (task 3 evidence: confusion asymmetry)
+run_stage cells_pair_smc 10800 /root/repo/experiments/cells \
+  python run_smc.py --config config_pair.yaml
+run_stage cells_pair_analyze 1800 /root/repo/experiments/cells \
+  python ../analyze.py output/cells_pair --method smc
+# 6. D&C pooled-convergence effort ladder (task 2)
+run_stage dc_pooled_base 14400 /root/repo/experiments/divideandconquer \
+  python compare_pooled.py --reps 8 --num-images 30
+run_stage dc_pooled_pair 14400 /root/repo/experiments/divideandconquer \
+  python compare_pooled.py --reps 8 --num-images 30 --pair-sweeps 2 \
+  --suffix _pair
+run_stage dc_pooled_high 18000 /root/repo/experiments/divideandconquer \
+  python compare_pooled.py --reps 8 --num-images 30 --agg-iters 300 \
+  --relocate 32 --pair-sweeps 4 --suffix _high
+
+touch /tmp/r4_queue2.done
+echo "$(date -u) queue2 complete" >> /tmp/r4_queue2.log

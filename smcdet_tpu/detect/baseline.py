@@ -138,9 +138,14 @@ def run_sep_cli(script_path, argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--num-tune", type=int, default=50)
     parser.add_argument("--num-images", type=int, default=None)
+    parser.add_argument(
+        "--config",
+        default="config.yaml",
+        help="alternate config file in the experiment directory",
+    )
     args = parser.parse_args(argv)
 
-    cfg = load_config(Path(script_path).parent / "config.yaml")
+    cfg = load_config(Path(script_path).parent / args.config)
     if args.num_images is not None:
         cfg.num_images = args.num_images
     out_dir = Path(cfg.output_dir) / cfg.name

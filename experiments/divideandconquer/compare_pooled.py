@@ -30,9 +30,24 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--num-images", type=int, default=30)
     parser.add_argument("--reps", type=int, default=4)
+    # bridge-effort knobs for the convergence study (VERDICT r3 task 2):
+    # defaults reproduce the config.yaml round-3 settings
+    parser.add_argument("--agg-iters", type=int, default=None)
+    parser.add_argument("--relocate", type=int, default=None)
+    parser.add_argument("--pair-sweeps", type=int, default=0)
+    parser.add_argument("--suffix", type=str, default="")
+    parser.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (the axon TPU plugin overrides "
+        "JAX_PLATFORMS, so an env var alone cannot)",
+    )
     args = parser.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from smcdet_tpu.config import (
@@ -102,12 +117,22 @@ def main():
                 max_smc_iters=cfg.sampler.max_smc_iters,
             )
             s.run(jax.random.fold_in(jax.random.key(200 + r), i))
-            agg = Aggregate.from_smc(
-                s,
+            agg_kwargs = dict(
                 resample_method=cfg.aggregation.resample_method,
                 ess_threshold_prop=cfg.aggregation.ess_threshold_prop,
-                max_smc_iters=cfg.aggregation.max_smc_iters,
+                max_smc_iters=args.agg_iters or cfg.aggregation.max_smc_iters,
+                pair_sweeps=args.pair_sweeps,
+                # always pass the config value explicitly: omitting the
+                # kwarg would use from_smc's hard default (8) and
+                # silently ignore aggregation.relocate_sweeps, which the
+                # production runner honors (runner.py)
+                relocate_sweeps=(
+                    args.relocate
+                    if args.relocate is not None
+                    else cfg.aggregation.relocate_sweeps
+                ),
             )
+            agg = Aggregate.from_smc(s, **agg_kwargs)
             agg.run(jax.random.fold_in(jax.random.key(300 + r), i))
             pc = np.asarray(agg.pruned_counts[0, 0])
             w = np.asarray(agg.state.weights[0, 0])
@@ -119,14 +144,29 @@ def main():
     dc_single = dc_pmfs[0]
     st_pool = np.mean(st_pmfs, axis=0)
     dc_pool = np.mean(dc_pmfs, axis=0)
-    # noise floor: TVD between two pooled halves of the SAME pipeline
-    st_half = (
-        0.5
-        * np.abs(
-            np.mean(st_pmfs[: args.reps // 2], axis=0)
-            - np.mean(st_pmfs[args.reps // 2:], axis=0)
+    # noise floors: TVD between two pooled halves of the SAME pipeline.
+    # The D&C floor matters as much as the single-tile one — if the D&C
+    # pipeline is noisier per rep, the pooled cross-pipeline TVD sits
+    # above the single-tile floor even when the tree is unbiased.
+    def self_halves(pmfs):
+        if args.reps < 2:
+            return None
+        return 0.5 * np.abs(
+            np.mean(pmfs[: args.reps // 2], axis=0)
+            - np.mean(pmfs[args.reps // 2:], axis=0)
         ).sum(-1)
-        if args.reps >= 2
+
+    st_half = self_halves(st_pmfs)
+    dc_half = self_halves(dc_pmfs)
+    # Expected cross-pipeline TVD if BOTH pipelines are unbiased. A
+    # half-split floor compares two (reps/2)-pooled means: variance
+    # 2 sigma^2/(reps/2) = 4 sigma^2/reps, so sigma^2 = reps/4 * half^2.
+    # The cross comparison is between two reps-pooled means: variance
+    # (sigma_st^2 + sigma_dc^2)/reps = (half_st^2 + half_dc^2)/4 —
+    # i.e. HALF the quadrature sum (|noise| scales like its std).
+    cross_floor = (
+        0.5 * np.sqrt(st_half**2 + dc_half**2)
+        if st_half is not None
         else None
     )
 
@@ -154,9 +194,21 @@ def main():
             4,
         ),
     }
+    report["bridge_effort"] = {
+        "max_smc_iters": args.agg_iters or cfg.aggregation.max_smc_iters,
+        "relocate_sweeps": (
+            args.relocate
+            if args.relocate is not None
+            else cfg.aggregation.relocate_sweeps
+        ),
+        "pair_sweeps": args.pair_sweeps,
+    }
     if st_half is not None:
         report["tvd_singletile_self_halves"] = stats(st_half)
-    with open(out_dir / "pooled_comparison.json", "w") as f:
+        report["tvd_dc_self_halves"] = stats(dc_half)
+        report["tvd_cross_floor_quadrature"] = stats(cross_floor)
+    name = f"pooled_comparison{args.suffix}.json"
+    with open(out_dir / name, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
 

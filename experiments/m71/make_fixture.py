@@ -119,9 +119,11 @@ def sdss_psf_normalized(r2, params=TRUE_PSF, radius=PSF_RADIUS):
 #  - "elliptical": a fixed anisotropic metric q*u^2 + v^2/q at angle
 #    THETA. The inference family is circularly symmetric, so no parameter
 #    setting can absorb the azimuthal structure.
-#  - "varying": circular profile whose core widths drift linearly across
-#    the target region (+-15% over the 320-px height); a single MLE is
-#    wrong for most cutouts.
+#  - "varying": circular profile whose core VARIANCES (the s1/s2 fields
+#    of the squared-sigma convention) drift linearly by +-VARY_FRAC
+#    across the target region — i.e. width drift sqrt(1 +- 0.15) ~
+#    +-7.2% — while the off-region fit patch sits at the -15% end, so a
+#    single MLE is wrong for most cutouts.
 ELL_Q = 1.15
 ELL_THETA = np.deg2rad(30.0)
 VARY_FRAC = 0.15
@@ -159,9 +161,14 @@ def psf_eval_factory(misspec):
 
     elif misspec == "varying":
 
+        # NOTE: the normalising constant is recomputed on the 256x256
+        # grid per star (scale varies continuously with row, so consts
+        # cannot be shared without quantising — which would change the
+        # committed render). ~65k evaluations x ~2k stars ~ a few
+        # minutes of one-time fixture generation; exactness wins.
         def psf(dy, dx, row, col):
-            # core widths scale with frame row: -VARY_FRAC at the region
-            # top to +VARY_FRAC at the bottom (clipped outside)
+            # core variances scale with frame row: -VARY_FRAC at the
+            # region top to +VARY_FRAC at the bottom (clipped outside)
             t = np.clip((row - REGION_Y0) / REGION_H, 0.0, 1.0)
             scale = 1.0 + VARY_FRAC * (2.0 * t - 1.0)
             s1, s2, sp, beta, b, p0 = TRUE_PSF

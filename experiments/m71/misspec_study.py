@@ -15,9 +15,9 @@ reproduced on fixtures with an IDENTICAL star field (same seed):
 - control:    well-specified render (data/, output/m71)
 - elliptical: anisotropic metric q=1.15 at 30 deg — outside the circular
               family (data_mis/, output/m71_mis)
-- varying:    core widths drift -15%..+15% across the region; the fit
-              patch sits at the -15% end, so the MLE PSF is wrong for
-              most cutouts while the noise fit stays honest
+- varying:    core variances drift -15%..+15% (width ~ +-7.2%) across
+              the region; the fit patch sits at the -15% end, so the MLE
+              PSF is wrong for most cutouts, noise fit stays honest
               (data_vary/, output/m71_vary)
 
 Reports, per variant: total-flux credible-interval coverage (nominal
@@ -59,23 +59,6 @@ def weighted_coverage(true_vals, samples, weights, level):
             true_vals, samples, [level], weights=weights
         )[0]
     )
-
-
-def per_image_inside(true_vals, samples, weights, level):
-    """Boolean per-image: truth inside the central ``level`` interval."""
-    alpha = (1.0 - level) / 2.0
-    n = samples.shape[0]
-    inside = np.zeros(n, dtype=bool)
-    for j in range(n):
-        order = np.argsort(samples[j])
-        cdf = np.cumsum(weights[j][order])
-        cdf /= cdf[-1]
-        lo = samples[j][order][np.searchsorted(cdf, alpha)]
-        hi = samples[j][order][
-            min(np.searchsorted(cdf, 1 - alpha), len(cdf) - 1)
-        ]
-        inside[j] = (true_vals[j] >= lo) and (true_vals[j] <= hi)
-    return inside
 
 
 def main():
@@ -135,9 +118,11 @@ def main():
         }
         # coverage by region row (distance from the off-region fit patch
         # at the row-0 end) — the smoking gun for the varying variant
+        from smcdet_tpu.validation import credible_interval_contains
+
         rows = (tiles["tile_index"][:n] // TILE_COLS).astype(int)
-        inside = per_image_inside(
-            truth_flux[pos], flux_samp[pos], w[pos], args.level
+        inside = credible_interval_contains(
+            truth_flux[pos], flux_samp[pos], args.level, weights=w[pos]
         )
         rpos = rows[pos]
         edges = np.linspace(0, REGION_TILE_ROWS, 5).astype(int)

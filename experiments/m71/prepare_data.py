@@ -211,10 +211,32 @@ def main():
             & (rel_f[:, 1] >= -reach)
             & (rel_f[:, 1] < TILE + reach)
         )
-        sel_r = np.flatnonzero(in_reach)[:max_reach]
+        sel_r = np.flatnonzero(in_reach)
+        if sel_r.size > max_reach:
+            raise RuntimeError(
+                f"tile {t}: {sel_r.size} stars in render reach exceeds "
+                f"the {max_reach}-slot reach catalog — raise max_reach"
+            )
         reach_counts[t] = sel_r.size
         reach_locs[t, : sel_r.size] = rel_f[sel_r]
         reach_fluxes[t, : sel_r.size] = fluxes_all[sel_r]
+
+    # The catalog-based saturation mask only sees in-region stars; a
+    # mag<14 giant just OUTSIDE the region boundary would render into a
+    # kept boundary tile's reach catalog unmasked. Absent here; be loud
+    # if a different field ever violates it.
+    kept_reach_max = np.where(
+        keep, reach_fluxes.max(-1), 0.0
+    ).max()
+    if kept_reach_max > bright_flux:
+        import warnings
+
+        warnings.warn(
+            f"a kept tile's render-reach catalog holds a {kept_reach_max:.0f}"
+            f"-nmgy star (> the mag-14 saturation limit {bright_flux:.0f}) — "
+            "an out-of-region giant the catalog-based mask cannot see; "
+            "the m71ss_reach ablation render will include its wings"
+        )
 
     # ------------------------------------------------------------------
     # 3. hyperparameter fitting

@@ -202,6 +202,12 @@ def main():
         contam = float(f_near[~inside].sum())
         if tgt > 100 and contam / tgt < best_ratio:
             best, best_ratio = int(k), contam / tgt
+    if best is None:
+        raise RuntimeError(
+            "no isolated star found: no single-count tile has exactly one "
+            "in-tile catalog star above 100 nmgy — relax the flux floor "
+            "or inspect the fixture's catalog density"
+        )
     idx = best
     r_near, f_near, inside = tile_neighbors(idx)
     loc = r_near[inside][0]

@@ -130,10 +130,12 @@ def main():
         "anchors": {},
     }
     pmfs = {}
-    for name, runner in anchors.items():
+    for a_idx, (name, runner) in enumerate(anchors.items()):
         print(f"running {name} ({args.chains} chains x {args.num_samples})")
+        # fixed per-anchor seeds: Python's str hash is salted per process,
+        # which would make the committed study non-reproducible
         res = jax.block_until_ready(
-            jax.jit(runner)(jax.random.key(hash(name) % 2**31))
+            jax.jit(runner)(jax.random.key(1000 + a_idx))
         )
         counts = np.asarray(res.pruned_counts)  # [chains, kept]
         pooled = np.bincount(counts.ravel(), minlength=K)[:K]

@@ -81,8 +81,21 @@ done
 run_stage misspec_study 1800 /root/repo/experiments/m71 \
   python misspec_study.py
 
-# 4. calibration-decomposition ablations (task 8)
+# 4. calibration-decomposition ablations (task 8). generate first: with
+# data_path: null the runner would silently SIMULATE tiles from the
+# prior if output/m71ss_<v>/tiles.npz were missing (_load_tiles
+# fallback) — the generate stage makes the render explicit, and the
+# guard refuses to run SMC on a missing render rather than let the
+# fallback fake it.
+declare -A ABLATE=([nospill]=intile [reach]=reach)
 for v in nospill reach; do
+  run_stage "ss_${v}_gen" 1800 /root/repo/experiments/m71semisynthetic \
+    python generate_images.py --catalog "${ABLATE[$v]}" \
+    --config "config_${v}.yaml"
+  if [ ! -f "/root/repo/experiments/m71semisynthetic/output/m71ss_${v}/tiles.npz" ]; then
+    echo "$(date -u) ss_${v}: tiles.npz missing, skipping SMC" >> /tmp/r4_queue2.log
+    continue
+  fi
   run_stage "ss_${v}_smc" 5400 /root/repo/experiments/m71semisynthetic \
     python run_smc.py --config "config_${v}.yaml"
   run_stage "ss_${v}_analyze" 1800 /root/repo/experiments/m71semisynthetic \

@@ -17,6 +17,7 @@ import numpy as np
 __all__ = [
     "sbc_ranks",
     "sbc_uniformity_pvalue",
+    "credible_interval_contains",
     "credible_interval_coverage",
     "count_confusion_matrix",
     "confusion_asymmetry",
@@ -53,6 +54,35 @@ def sbc_uniformity_pvalue(ranks):
     return float(kstest(np.asarray(ranks), "uniform").pvalue)
 
 
+def credible_interval_contains(true_values, posterior_samples, level,
+                               weights=None):
+    """Per-image membership of the central ``level`` credible interval.
+
+    Returns a boolean ``[I]`` array: truth inside the interval. The
+    single source of the interval-endpoint convention — coverage curves
+    and any stratified coverage (e.g. by region row) must agree.
+    """
+    true_values = np.asarray(true_values, dtype=np.float64)
+    samples = np.asarray(posterior_samples, dtype=np.float64)
+    alpha = (1.0 - float(level)) / 2.0
+    if weights is None:
+        lo = np.quantile(samples, alpha, axis=-1)
+        hi = np.quantile(samples, 1.0 - alpha, axis=-1)
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+        lo = np.empty(samples.shape[0])
+        hi = np.empty(samples.shape[0])
+        for j in range(samples.shape[0]):
+            order = np.argsort(samples[j])
+            cdf = np.cumsum(w[j][order])
+            cdf /= cdf[-1]
+            lo[j] = samples[j][order][np.searchsorted(cdf, alpha)]
+            hi[j] = samples[j][order][
+                min(np.searchsorted(cdf, 1 - alpha), len(cdf) - 1)
+            ]
+    return (true_values >= lo) & (true_values <= hi)
+
+
 def credible_interval_coverage(true_values, posterior_samples, levels,
                                weights=None):
     """Empirical coverage of central credible intervals.
@@ -61,28 +91,12 @@ def credible_interval_coverage(true_values, posterior_samples, levels,
     value falls inside the central ``level`` interval of its posterior
     samples (results.ipynb cells 35-36).
     """
-    true_values = np.asarray(true_values, dtype=np.float64)
-    samples = np.asarray(posterior_samples, dtype=np.float64)
     levels = np.asarray(levels, dtype=np.float64)
     out = np.zeros(levels.shape)
     for i, level in enumerate(levels):
-        alpha = (1.0 - level) / 2.0
-        if weights is None:
-            lo = np.quantile(samples, alpha, axis=-1)
-            hi = np.quantile(samples, 1.0 - alpha, axis=-1)
-        else:
-            w = np.asarray(weights, dtype=np.float64)
-            lo = np.empty(samples.shape[0])
-            hi = np.empty(samples.shape[0])
-            for j in range(samples.shape[0]):
-                order = np.argsort(samples[j])
-                cdf = np.cumsum(w[j][order])
-                cdf /= cdf[-1]
-                lo[j] = samples[j][order][np.searchsorted(cdf, alpha)]
-                hi[j] = samples[j][order][
-                    min(np.searchsorted(cdf, 1 - alpha), len(cdf) - 1)
-                ]
-        out[i] = ((true_values >= lo) & (true_values <= hi)).mean()
+        out[i] = credible_interval_contains(
+            true_values, posterior_samples, level, weights=weights
+        ).mean()
     return out
 
 

@@ -109,6 +109,36 @@ class TestRunCSMC:
         acc = float(result.acc_rate[0])
         assert 0.003 < acc <= 1.0
 
+    def test_pair_sweeps_wiring(self, result):
+        # Driver-level wiring of the coordinated two-star move
+        # (SMCConfig.pair_sweeps -> kernels.pair_redistribute_sweeps; the
+        # move's own exactness is tested in test_pair_moves.py): the run
+        # must still converge, and the posterior must agree with the
+        # pair-free run on the unambiguous two-star image.
+        image, prior, model, kernel = two_star_image()
+        cfg = SMCConfig(
+            num_catalogs=256,
+            ess_threshold_prop=0.5,
+            resample_method="systematic",
+            max_smc_iters=50,
+            flux_detection_threshold=200.0,
+            pair_sweeps=2,
+        )
+        res = jax.block_until_ready(
+            jax.jit(run_csmc)(
+                jax.random.key(0), image[None], prior, model, kernel, cfg
+            )
+        )
+        np.testing.assert_allclose(np.asarray(res.temperature), 1.0)
+        lz = np.asarray(res.log_normalizing_constant[0])
+        pmf = np.exp(lz - lz.max())
+        pmf = pmf / pmf.sum()
+        assert pmf.argmax() == 2, pmf
+        lz0 = np.asarray(result.log_normalizing_constant[0])
+        pmf0 = np.exp(lz0 - lz0.max())
+        pmf0 = pmf0 / pmf0.sum()
+        assert 0.5 * np.abs(pmf - pmf0).sum() < 0.2, (pmf, pmf0)
+
 
 @pytest.mark.slow
 class TestSharding:

@@ -30,7 +30,9 @@ run_stage() {
   shift 3
   echo "$(date -u) stage $name: $*" >> /tmp/r4_queue2.log
   (cd "$dir" && timeout "$tmo" "$@") > "/tmp/r4_q2_${name}.log" 2>&1
-  echo "$(date -u) stage $name rc=$?" >> /tmp/r4_queue2.log
+  local rc=$?
+  # NB: capture rc BEFORE any $(...) substitution — $(date) would reset $?
+  echo "$(date -u) stage $name rc=$rc" >> /tmp/r4_queue2.log
 }
 
 # 1. roofline, fed the fresh full-bench updates/s when available

@@ -60,7 +60,27 @@ else
   run_stage roofline 1800 /root/repo python experiments/roofline.py
 fi
 
-# 2. split-mode study (task 3 evidence, RJ anchor on the 727-nmgy image)
+# 1b. regenerate the simulated tile sets the later stages read — the
+# round-3 output/ trees are gitignored and this machine starts clean.
+# All three are deterministic (seeded configs), so the regenerated
+# tiles equal the round-3 inputs.
+run_stage gen_dc 1800 /root/repo/experiments/divideandconquer \
+  python generate_images.py
+run_stage gen_m71syn 1800 /root/repo/experiments/m71synthetic \
+  python generate_images.py
+run_stage gen_cells 1800 /root/repo/experiments/cells \
+  python generate_images.py
+
+# 2. D&C pooled-convergence ladder, highest-priority evidence after the
+# bench (VERDICT task 2): base effort, then the coordinated-pair-move
+# bridge. The expensive _high rung runs at the end of the queue.
+run_stage dc_pooled_base 14400 /root/repo/experiments/divideandconquer \
+  python compare_pooled.py --reps 8 --num-images 30
+run_stage dc_pooled_pair 14400 /root/repo/experiments/divideandconquer \
+  python compare_pooled.py --reps 8 --num-images 30 --pair-sweeps 2 \
+  --suffix _pair
+
+# 2b. split-mode study (task 3 evidence, RJ anchor on the 727-nmgy image)
 run_stage splitmode 5400 /root/repo/experiments/m71synthetic \
   python split_mode_study.py
 
@@ -104,17 +124,17 @@ for v in nospill reach; do
     python ../analyze.py "output/m71ss_${v}" --method smc
 done
 
-# 5. cells pair-move rerun (task 3 evidence: confusion asymmetry)
-run_stage cells_pair_smc 10800 /root/repo/experiments/cells \
-  python run_smc.py --config config_pair.yaml
-run_stage cells_pair_analyze 1800 /root/repo/experiments/cells \
-  python ../analyze.py output/cells_pair --method smc
-# 6. D&C pooled-convergence effort ladder (task 2)
-run_stage dc_pooled_base 14400 /root/repo/experiments/divideandconquer \
-  python compare_pooled.py --reps 8 --num-images 30
-run_stage dc_pooled_pair 14400 /root/repo/experiments/divideandconquer \
-  python compare_pooled.py --reps 8 --num-images 30 --pair-sweeps 2 \
-  --suffix _pair
+# 5. cells pair-move rerun (task 3 evidence: confusion asymmetry).
+# config_pair reads output/cells/tiles.npz from the gen_cells stage.
+if [ ! -f /root/repo/experiments/cells/output/cells/tiles.npz ]; then
+  echo "$(date -u) cells_pair: tiles.npz missing, skipping" >> /tmp/r4_queue2.log
+else
+  run_stage cells_pair_smc 10800 /root/repo/experiments/cells \
+    python run_smc.py --config config_pair.yaml
+  run_stage cells_pair_analyze 1800 /root/repo/experiments/cells \
+    python ../analyze.py output/cells_pair --method smc
+fi
+# 6. the expensive top rung of the D&C effort ladder (task 2)
 run_stage dc_pooled_high 18000 /root/repo/experiments/divideandconquer \
   python compare_pooled.py --reps 8 --num-images 30 --agg-iters 300 \
   --relocate 32 --pair-sweeps 4 --suffix _high

@@ -14,6 +14,14 @@
 set -u
 cd /root/repo
 
+# Hard deadline (epoch seconds): the driver reruns bench.py on the chip
+# at round end; a stage still holding the TPU then would make
+# BENCH_r04.json rc!=0 (the round-3 failure mode). Every stage's timeout
+# is capped to the time remaining before the deadline, and stages are
+# skipped outright once less than 5 minutes remain. /tmp/r4_stop is a
+# manual kill switch checked before each stage.
+DEADLINE=${R4_DEADLINE:-$(date -d '2026-08-19 07:25:00 UTC' +%s)}
+
 while [ ! -f /tmp/r4_tpu_queue.done ]; do sleep 120; done
 # let the serial CPU validation chain finish first (bounded: if it
 # wedged, proceed anyway after 3 h — its targets are also this queue's
@@ -28,8 +36,16 @@ echo "$(date -u) queue2 start (validate done: $([ -f /tmp/r4_cpu_validate.done ]
 run_stage() {
   local name=$1 tmo=$2 dir=$3
   shift 3
-  echo "$(date -u) stage $name: $*" >> /tmp/r4_queue2.log
-  (cd "$dir" && timeout "$tmo" "$@") > "/tmp/r4_q2_${name}.log" 2>&1
+  local now left
+  now=$(date +%s)
+  left=$((DEADLINE - now))
+  if [ -f /tmp/r4_stop ] || [ "$left" -lt 300 ]; then
+    echo "$(date -u) stage $name SKIPPED (deadline/stop, left=${left}s)" >> /tmp/r4_queue2.log
+    return 125
+  fi
+  if [ "$tmo" -gt "$left" ]; then tmo=$left; fi
+  echo "$(date -u) stage $name (tmo=${tmo}s): $*" >> /tmp/r4_queue2.log
+  (cd "$dir" && timeout --kill-after=60 "$tmo" "$@") > "/tmp/r4_q2_${name}.log" 2>&1
   local rc=$?
   # NB: capture rc BEFORE any $(...) substitution — $(date) would reset $?
   echo "$(date -u) stage $name rc=$rc" >> /tmp/r4_queue2.log

@@ -51,6 +51,17 @@ run_stage() {
   echo "$(date -u) stage $name rc=$rc" >> /tmp/r4_queue2.log
 }
 
+# 0. re-run the on-chip Pallas suite with the equilibrium-test redesign
+# (800-sweep near-equilibrium comparison; the 40-sweep mid-warm-up
+# quantile check failed on chip with a gap smaller than the XLA chain's
+# own seed spread — experiments/diag_pallas_mh.py) and record the
+# on-chip two-backend diagnostic ladder as evidence.
+run_stage tpu_pallas_fixed 3600 /root/repo \
+  env SMCDET_TEST_TPU=1 python -m pytest tests/test_pallas.py -q
+run_stage diag_pallas 3600 /root/repo \
+  python experiments/diag_pallas_mh.py --noise gaussian \
+  --iters 40 800 --seeds 5 6 7
+
 # 1. roofline, fed the fresh full-bench updates/s when available
 UPS=$(python - <<'PY'
 import json

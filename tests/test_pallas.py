@@ -109,6 +109,15 @@ class TestFusedSweepOnTPU:
         kernel, ctx, counts, locs, fluxes, model, prior, images = (
             self._setup(noise)
         )
+        # 800 sweeps: the two backends use different PRNG streams, so the
+        # comparison must be made at (near-)equilibrium. At 40 sweeps the
+        # chains are mid-warm-up and the XLA chain's own seed-to-seed q25
+        # spread (~270 nats on the gaussian/Pareto target) exceeds any
+        # sane tolerance (experiments/diag_pallas_mh.py, round 4). By 800
+        # sweeps the bulk quantiles are reproducible to ~2 nats across
+        # seeds; the deep lower tail (q25) stays warm-up-dominated for
+        # thousands of sweeps (heavy Pareto flux tail) and is excluded.
+        kernel = kernel.replace(num_iters=800)
         kx = kernel.replace(backend="xla")
         kp = kernel.replace(backend="pallas")
         stx, accx = jax.jit(
@@ -118,12 +127,18 @@ class TestFusedSweepOnTPU:
             lambda k, l, f: kp.run(k, ctx, counts, l, f)
         )(jax.random.key(5), locs, fluxes)
 
-        # tempered-target quantiles agree (statistical equivalence)
+        # equilibrated-bulk quantiles agree (statistical equivalence)
         ltx = np.asarray(stx.logprior + 0.8 * stx.parent_ll).ravel()
         ltp = np.asarray(stp.logprior + 0.8 * stp.parent_ll).ravel()
-        for q in (25, 50, 75):
+        for q in (50, 75):
             a, b = np.percentile(ltx, q), np.percentile(ltp, q)
             assert abs(a - b) <= 0.05 * abs(a) + 5.0, (q, a, b)
+
+        # acceptance rates match (sensitive to proposal-mass-correction
+        # bias: a wrong truncation term shifts acceptance systematically)
+        assert abs(float(accp.mean()) - float(accx.mean())) < 0.02, (
+            float(accx.mean()), float(accp.mean()),
+        )
 
         # caches remain consistent with full recomputation
         pll = model.loglikelihood(ctx.image, stp.locs, stp.fluxes)

@@ -1031,19 +1031,21 @@ class SingleComponentMALA:
             from smcdet_tpu.ops import pallas_sweep
 
             if pallas_sweep.supports_mala(ctx, self):
-                locs2, fluxes2, rate, pll, lp, acc, _, _ = (
+                locs2, fluxes2, rate, pll, lp, acc, crate, cll = (
                     pallas_sweep.pallas_mala_sweeps(
                         key, ctx, self, counts, state.locs, state.fluxes,
                         state.rate, state.parent_ll, state.logprior,
+                        child_rate=state.child_rate,
+                        child_ll=state.child_ll,
                     )
                 )
                 state = KernelState(
                     locs=locs2,
                     fluxes=fluxes2,
                     rate=rate,
-                    child_rate=None,
+                    child_rate=crate,
                     parent_ll=pll,
-                    child_ll=None,
+                    child_ll=cll,
                     logprior=lp,
                 )
                 return state, acc.mean(-1)

@@ -29,7 +29,8 @@ current location, or by its fixed origin tag when the context carries
 image model (Gaussian noise or
 Poisson-with-Normal-tail) and either PSF (SDSS 6-parameter or Gaussian) —
 matching inference/kernels.py semantics for ``SingleComponentMH``
-(reference smcdet/kernel.py:7-130).
+(reference smcdet/kernel.py:7-130) and ``SingleComponentMALA``
+(kernel.py:133-275; analytic slot gradients, both targets).
 """
 
 from __future__ import annotations
@@ -119,15 +120,20 @@ def supports(ctx, kernel) -> bool:
 def supports_mala(ctx, kernel) -> bool:
     """True if the fused MALA kernel covers this target configuration.
 
-    Same model/PSF coverage as the MH kernel but the tile-level target
-    only: the bridge's child term would need per-slot side-masked
-    gradients (the gradient of the masked render w.r.t. location picks up
-    the same mask — doable, but the bridge mixes through relocation
-    sweeps anyway and no reference experiment runs MALA there)."""
+    Same model/PSF/bridge coverage as the MH kernel: the bridge's child
+    term contributes ``(1 - tau) * dll_child`` through the side-masked
+    render, whose gradient is the parent render's gradient times the
+    (piecewise-constant, hence gradient-transparent) side mask — exactly
+    what ``jax.grad`` of the XLA slot target computes."""
     from smcdet_tpu.models.psf import GaussianPSF, SDSSPSF
 
+    child_ok = ctx.child_model is None or (
+        ctx.child_model is ctx.model
+        and hasattr(ctx.child_side_mask, "axis")
+        and hasattr(ctx.child_side_mask, "boundary")
+    )
     return (
-        ctx.child_model is None
+        child_ok
         and ctx.model.noise in ("gaussian", "poisson")
         and isinstance(ctx.model.psf, (GaussianPSF, SDSSPSF))
         and jax.devices()[0].platform == "tpu"
@@ -429,8 +435,9 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
 
 
 def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
-                      flux_is_pareto, flux_is_normal):
-    """Fused single-component MALA sweep loop (tile-level target only).
+                      flux_is_pareto, flux_is_normal, child_axis=None,
+                      side_from_tag=False):
+    """Fused single-component MALA sweep loop (tile and bridge targets).
 
     The slot target's gradient is closed-form — no autodiff inside the
     kernel (VERDICT r2 task 4): with ``rate = rate_wo + a*adu*f*psi(ly,lx)``,
@@ -440,12 +447,19 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
       dG/dlx = tau * sum_px dll/drate * a*adu*f * psi'(r2) * (-2*dx)
 
     (the patch mask and floor() have zero gradient, matching what
-    ``jax.grad`` of the XLA path computes). Per sweep this costs two
-    PSF+derivative evaluations and three extra HW reductions on top of
-    the MH sweep's work — the measured basis for MALA landing within
-    ~2-3x of MH instead of the XLA path's ~10x.
+    ``jax.grad`` of the XLA path computes). The aggregation-bridge target
+    adds ``(1 - tau) * child_ll`` whose rate is the side-masked render;
+    the side mask (fixed origin tag, or the star's current tile in the
+    legacy mode) is piecewise-constant in location, so the child term's
+    gradient is the same expression with ``dll_child = dll(child_rate)``
+    weighted ``(1 - tau)`` and the render derivatives masked — again
+    exactly what ``jax.grad`` of the XLA slot target computes. Per sweep
+    this costs two PSF+derivative evaluations and three extra HW
+    reductions on top of the MH sweep's work — the measured basis for
+    MALA landing within ~2-3x of MH instead of the XLA path's ~10x.
     """
     HW = H * W
+    has_child = child_axis is not None
 
     def kernel(*refs):
         (
@@ -461,6 +475,13 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
             rate_ref,
             pll_ref,
             lp_ref,
+        ) = refs[:12]
+        n_in = (14 if has_child else 12) + (1 if side_from_tag else 0)
+        if has_child:
+            child_rate_ref, cll_ref = refs[12:14]
+        if side_from_tag:
+            slot_side_ref = refs[14]  # [M, P] origin tags (1 = even child)
+        (
             out_locs_y,
             out_locs_x,
             out_fluxes,
@@ -468,7 +489,9 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
             out_pll,
             out_lp,
             out_acc,
-        ) = refs
+        ) = refs[n_in : n_in + 7]
+        if has_child:
+            out_child_rate, out_cll = refs[n_in + 7 : n_in + 9]
         t = pl.program_id(0)
         b = pl.program_id(1)
         mixed = (
@@ -493,6 +516,7 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
         normal_tail = pp[20]
         flux_a = pp[21]
         flux_b = pp[22]
+        boundary = pp[23]  # aggregation-bridge tile boundary (child term)
 
         tau = temp_ref[t]
         image = image_ref[0, :, :]  # [HW, 1]
@@ -502,6 +526,25 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
         h_pix = (hh_i // W).astype(jnp.float32) + 0.5
         w_pix = (hh_i % W).astype(jnp.float32) + 0.5
         m_iota = jax.lax.broadcasted_iota(jnp.int32, (M, P), 0)
+
+        if has_child:
+            # same side-mask construction as the fused MH kernel: child
+            # tiles partition the parent pixels at `boundary` along
+            # `child_axis`; f32 arithmetic select (a bool broadcast-select
+            # of mixed shapes hits a Mosaic truncation limitation)
+            pix_coord = (
+                (hh_i // W) if child_axis == 0 else (hh_i % W)
+            ).astype(jnp.float32) + 0.5  # [HW, 1]
+            pix1 = (pix_coord < boundary).astype(jnp.float32)  # [HW, 1]
+
+            def side_mask(ly, lx):
+                star_c = ly if child_axis == 0 else lx  # [1, P]
+                star1 = (star_c <= boundary).astype(jnp.float32)
+                return pix1 * star1 + (1.0 - pix1) * (1.0 - star1)
+
+            def side_mask_from(side1):
+                # side1 [1, P] in {0., 1.}: the slot's ORIGIN child window
+                return pix1 * side1 + (1.0 - pix1) * (1.0 - side1)
 
         def psf_and_deriv(ly, lx):
             """psi [HW,P], dpsi/dr2 [HW,P], dy, dx for one star."""
@@ -597,7 +640,8 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
         half_fs2 = 0.5 * fluxes_step * fluxes_step
 
         def body(i, carry):
-            locs_y, locs_x, fluxes, rate, pll, lp, acc = carry
+            (locs_y, locs_x, fluxes, rate, pll, lp, acc,
+             child_rate, cll) = carry
 
             # uniform over the occupied slot prefix (see the MH kernel)
             u_j = _uniform((1, P))
@@ -616,17 +660,33 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
             psi_o, dpsi_o, dy_o, dx_o = psf_and_deriv(loc_jy, loc_jx)
             aeff = active * adu  # [1, P]
             rate_wo = rate - aeff * f_j * psi_o
+            if has_child:
+                if side_from_tag:
+                    side_j = (slot_side_ref[0] * onehot).sum(
+                        0, keepdims=True
+                    )  # [1, P]
+                    w_o = side_mask_from(side_j)
+                else:
+                    w_o = side_mask(loc_jy, loc_jx)
+                child_rate_wo = child_rate - aeff * f_j * psi_o * w_o
 
             # forward drift at the current point (rate is the cached full
-            # render; the slot's loglik-sum comes cached in pll)
+            # render; the slot's loglik-sum comes cached in pll). The
+            # bridge child term contributes through its own rate cache
+            # with weight (1 - tau) and the side-masked render.
             g_o = tau * dll_drate(rate)  # [HW, P]
-            gly = (g_o * dpsi_o * (-2.0 * dy_o)).sum(0, keepdims=True) * (
-                aeff * f_j
-            )
-            glx = (g_o * dpsi_o * (-2.0 * dx_o)).sum(0, keepdims=True) * (
-                aeff * f_j
-            )
-            gf = (g_o * psi_o).sum(0, keepdims=True) * aeff + (
+            if has_child:
+                gc_o = (1.0 - tau) * dll_drate(child_rate) * w_o
+                g_loc_o = g_o + gc_o
+            else:
+                g_loc_o = g_o
+            gly = (g_loc_o * dpsi_o * (-2.0 * dy_o)).sum(
+                0, keepdims=True
+            ) * (aeff * f_j)
+            glx = (g_loc_o * dpsi_o * (-2.0 * dx_o)).sum(
+                0, keepdims=True
+            ) * (aeff * f_j)
+            gf = (g_loc_o * psi_o).sum(0, keepdims=True) * aeff + (
                 active * flux_log_prob_grad(f_safe)
             )
 
@@ -646,19 +706,30 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
             psi_n, dpsi_n, dy_n, dx_n = psf_and_deriv(y_prop, x_prop)
             rate_prop = rate_wo + aeff * f_prop * psi_n
             pll_prop = loglik(rate_prop)
+            if has_child:
+                w_n = w_o if side_from_tag else side_mask(y_prop, x_prop)
+                child_rate_prop = child_rate_wo + aeff * f_prop * psi_n * w_n
+                cll_prop = loglik(child_rate_prop)
+            else:
+                child_rate_prop, cll_prop = child_rate, cll
             lp_prop = lp + active * (
                 flux_log_prob(f_prop) - flux_log_prob(f_safe)
             )
 
             # reverse drift at the proposal
             g_n = tau * dll_drate(rate_prop)
-            gly_r = (g_n * dpsi_n * (-2.0 * dy_n)).sum(
+            if has_child:
+                gc_n = (1.0 - tau) * dll_drate(child_rate_prop) * w_n
+                g_loc_n = g_n + gc_n
+            else:
+                g_loc_n = g_n
+            gly_r = (g_loc_n * dpsi_n * (-2.0 * dy_n)).sum(
                 0, keepdims=True
             ) * (aeff * f_prop)
-            glx_r = (g_n * dpsi_n * (-2.0 * dx_n)).sum(
+            glx_r = (g_loc_n * dpsi_n * (-2.0 * dx_n)).sum(
                 0, keepdims=True
             ) * (aeff * f_prop)
-            gf_r = (g_n * psi_n).sum(0, keepdims=True) * aeff + (
+            gf_r = (g_loc_n * psi_n).sum(0, keepdims=True) * aeff + (
                 active * flux_log_prob_grad(f_prop)
             )
             mu_y_r = y_prop + half_ls2 * gly_r
@@ -678,12 +749,20 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
                 )
             )
 
-            log_alpha = (
-                (lp_prop + tau * pll_prop)
-                - (lp + tau * pll)
-                + log_q_rev
-                - log_q_fwd
-            )
+            if has_child:
+                log_alpha = (
+                    (lp_prop + tau * pll_prop + (1.0 - tau) * cll_prop)
+                    - (lp + tau * pll + (1.0 - tau) * cll)
+                    + log_q_rev
+                    - log_q_fwd
+                )
+            else:
+                log_alpha = (
+                    (lp_prop + tau * pll_prop)
+                    - (lp + tau * pll)
+                    + log_q_rev
+                    - log_q_fwd
+                )
             u_acc = _uniform((1, P))
             accept = (
                 (u_acc <= jnp.exp(jnp.minimum(log_alpha, 0.0)))
@@ -697,8 +776,14 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
             rate = rate + accept * (rate_prop - rate)
             pll = pll + accept * (pll_prop - pll)
             lp = lp + accept * (lp_prop - lp)
+            if has_child:
+                child_rate = child_rate + accept * (
+                    child_rate_prop - child_rate
+                )
+                cll = cll + accept * (cll_prop - cll)
             acc = acc + accept
-            return (locs_y, locs_x, fluxes, rate, pll, lp, acc)
+            return (locs_y, locs_x, fluxes, rate, pll, lp, acc,
+                    child_rate, cll)
 
         init = (
             locs_y_ref[0],
@@ -708,9 +793,11 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
             pll_ref[0],
             lp_ref[0],
             jnp.zeros((1, P), jnp.float32),
+            child_rate_ref[0] if has_child else jnp.zeros((1, 1)),
+            cll_ref[0] if has_child else jnp.zeros((1, 1)),
         )
-        locs_y, locs_x, fluxes, rate, pll, lp, acc = jax.lax.fori_loop(
-            0, num_iters, body, init
+        (locs_y, locs_x, fluxes, rate, pll, lp, acc, child_rate, cll) = (
+            jax.lax.fori_loop(0, num_iters, body, init)
         )
         out_locs_y[0] = locs_y
         out_locs_x[0] = locs_x
@@ -719,6 +806,9 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
         out_pll[0] = pll
         out_lp[0] = lp
         out_acc[0] = acc
+        if has_child:
+            out_child_rate[0] = child_rate
+            out_cll[0] = cll
 
     return kernel
 
@@ -740,9 +830,10 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
     has_child = child_axis is not None
 
     if variant == "mala":
-        assert not has_child, "fused MALA covers the tile-level target only"
         kern = _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
-                                 flux_is_pareto, flux_is_normal)
+                                 flux_is_pareto, flux_is_normal,
+                                 child_axis=child_axis,
+                                 side_from_tag=side_from_tag)
     else:
         kern = _make_kernel(H, W, M, P, num_iters, noise, psf_kind,
                             flux_is_pareto, flux_is_normal,
@@ -1044,14 +1135,16 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
 
 
 def pallas_mala_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
-                       parent_ll, logprior, block: int = 256):
-    """Run ``kernel.num_iters`` fused MALA sweeps (tile-level target).
+                       parent_ll, logprior, child_rate=None,
+                       child_ll=None, block: int = 256):
+    """Run ``kernel.num_iters`` fused MALA sweeps (tile or bridge target).
 
-    Same input/output contract as ``pallas_mh_sweeps`` without the bridge
-    child caches; ``kernel`` is a ``SingleComponentMALA`` (its
-    ``locs_step`` / ``fluxes_step`` ride in the proposal-scale slots).
+    Same input/output contract as ``pallas_mh_sweeps``; ``kernel`` is a
+    ``SingleComponentMALA`` (its ``locs_step`` / ``fluxes_step`` ride in
+    the proposal-scale slots).
     """
     return pallas_mh_sweeps(
         key, ctx, kernel, counts, locs, fluxes, rate, parent_ll, logprior,
-        block=block, variant="mala",
+        child_rate=child_rate, child_ll=child_ll, block=block,
+        variant="mala",
     )

@@ -163,6 +163,133 @@ class TestFusedSweepOnTPU:
         )
 
 
+class TestBridgeMALAGradientMath:
+    """CPU-checkable derivation of the fused bridge-MALA kernel's
+    closed-form gradient: with the bridge target
+    ``lp + tau * pll + (1 - tau) * cll`` and the child rate the
+    side-masked render, the slot gradient is the parent expression plus
+    the same render derivatives masked by the (gradient-transparent)
+    side window, weighted ``(1 - tau) * dll(child_rate)``. This is what
+    ``_make_mala_kernel(child_axis=...)`` implements; ``jax.grad`` of
+    the XLA slot target is the oracle."""
+
+    def test_analytic_bridge_gradient_matches_autodiff(self):
+        from smcdet_tpu.inference.aggregate import _side_mask_fn
+        from smcdet_tpu.inference.kernels import (
+            SingleComponentMALA,
+            _take_slot,
+            init_kernel_state,
+        )
+
+        helper = TestFusedSweepOnTPU()
+        _, ctx, counts, locs, fluxes, model, prior, _ = helper._setup(
+            "gaussian"
+        )
+        side_mask = _side_mask_fn(1, 4, model.height, model.width)
+        sides = (jnp.arange(fluxes.shape[-1]) % 2).astype(jnp.float32)
+        sides = jnp.broadcast_to(sides, fluxes.shape)
+        ctx = ctx.replace(
+            temperature=jnp.full((2, 1, 1), 0.6),
+            child_model=model,
+            child_side_mask=side_mask,
+            child_slot_side=sides,
+            child_ghost_rate=jnp.zeros(
+                fluxes.shape[:-1] + (model.height * model.width,)
+            ),
+        )
+        kernel = SingleComponentMALA(
+            num_iters=1, locs_step=jnp.float32(0.1),
+            fluxes_step=jnp.float32(2.0),
+            fluxes_min=jnp.float32(0.252), fluxes_max=jnp.float32(1804.679),
+        )
+        st = init_kernel_state(ctx, counts, locs, fluxes)
+        j = jnp.zeros(counts.shape, dtype=jnp.int32)
+        active = j < counts
+        onehot = jnp.arange(fluxes.shape[-1]) == j[..., None]
+        loc_j = _take_slot(locs, onehot)
+        f_j = _take_slot(fluxes, onehot)
+        side_j = _take_slot(sides, onehot)
+        eff = jnp.asarray(model.adu_per_nmgy)
+        old_img, old_child = ctx.star_images(loc_j, side_j)
+        a = active[..., None]
+        rate_wo = st.rate - jnp.where(a, eff * f_j[..., None] * old_img, 0.0)
+        child_rate_wo = st.child_rate - jnp.where(
+            a, eff * f_j[..., None] * old_child, 0.0
+        )
+        ref_pt = prior.flux.reference_point
+        safe = jnp.where(active, f_j, ref_pt)
+        logprior_wo = st.logprior - jnp.where(
+            active, prior.flux.log_prob(safe), 0.0
+        )
+        base = (rate_wo, child_rate_wo, logprior_wo)
+
+        grad_fn = jax.grad(
+            kernel._slot_target, argnums=(3, 4), has_aux=True
+        )
+        (gl_auto, gf_auto), _ = grad_fn(
+            ctx, base, active, loc_j, f_j, side_j
+        )
+
+        # closed-form replica of the fused kernel's bridge gradient
+        def dll(rate):
+            var = jnp.asarray(model.noise_additive) + jnp.asarray(
+                model.noise_multiplicative
+            ) * rate
+            r = ctx.image_flat - rate
+            mult = jnp.asarray(model.noise_multiplicative)
+            return r / var + 0.5 * r * r * mult / var**2 - 0.5 * mult / var
+
+        psf = model.psf
+        H, W = model.height, model.width
+        p = jnp.arange(H * W)
+        h = (p // W) + 0.5
+        w = (p % W) + 0.5
+        dy = h - loc_j[..., 0:1]
+        dx = w - loc_j[..., 1:2]
+        in_h = (
+            jnp.abs(h - 0.5 - jnp.floor(loc_j[..., 0:1])) <= model.psf_radius
+        )
+        in_w = (
+            jnp.abs(w - 0.5 - jnp.floor(loc_j[..., 1:2])) <= model.psf_radius
+        )
+        mask = (in_h & in_w).astype(jnp.float32)
+        r2 = dy * dy + dx * dx
+        s1, s2, sp, beta, bb, p0 = (
+            psf.sigma1, psf.sigma2, psf.sigmap, psf.beta, psf.b, psf.p0
+        )
+        norm = (1.0 + bb + p0) * psf.normalizing_constant
+        t1 = jnp.exp(-r2 / (2 * s1))
+        t2 = bb * jnp.exp(-r2 / (2 * s2))
+        t3 = p0 * (1.0 + r2 / (beta * sp)) ** (-beta / 2.0)
+        psi = (t1 + t2 + t3) / norm * mask
+        dpsi = (
+            t1 * (-1.0 / (2 * s1))
+            + t2 * (-1.0 / (2 * s2))
+            + t3 * (-0.5) / (sp + r2 / beta)
+        ) / norm * mask
+        wchild = ctx._side_window(side_j).astype(jnp.float32)
+        tau = ctx.temperature[..., None]
+        g = tau * dll(st.rate) + (1.0 - tau) * dll(st.child_rate) * wchild
+        aeff = active[..., None].astype(jnp.float32) * eff
+        gly = (g * dpsi * (-2.0 * dy)).sum(-1) * aeff[..., 0] * f_j
+        glx = (g * dpsi * (-2.0 * dx)).sum(-1) * aeff[..., 0] * f_j
+        flux_grad = -(jnp.asarray(prior.flux.alpha) + 1.0) / safe
+        gf = (g * psi).sum(-1) * aeff[..., 0] + jnp.where(
+            active, flux_grad, 0.0
+        )
+        np.testing.assert_allclose(
+            np.asarray(gly), np.asarray(gl_auto[..., 0]), rtol=2e-2,
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(glx), np.asarray(gl_auto[..., 1]), rtol=2e-2,
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gf_auto), rtol=2e-2, atol=2e-4
+        )
+
+
 @requires_tpu
 class TestFusedBridgeOnTPU:
     def test_aggregation_matches_xla_backend(self):
@@ -270,6 +397,79 @@ class TestFusedMALAOnTPU:
         assert (drift / scale).max() < 2e-3
         lp = prior.log_prob(counts, stp.locs, stp.fluxes)
         assert np.abs(np.asarray(lp - stp.logprior)).max() < 0.01
+
+    @pytest.mark.parametrize("mode", ["tag", "legacy"])
+    def test_matches_xla_equilibrium_bridge(self, mode):
+        """MALA on the aggregation-bridge target (child term at tau=0.5):
+        fused analytic-gradient kernel vs the jax.grad XLA oracle."""
+        from smcdet_tpu.inference.aggregate import _side_mask_fn
+        from smcdet_tpu.inference.kernels import (
+            SingleComponentMALA,
+            init_kernel_state,
+        )
+
+        helper = TestFusedSweepOnTPU()
+        kernel_mh, ctx, counts, locs, fluxes, model, prior, images = (
+            helper._setup("gaussian")
+        )
+        side_mask = _side_mask_fn(1, 4, model.height, model.width)
+        kwargs = dict(child_model=model, child_side_mask=side_mask)
+        if mode == "tag":
+            sides = (jnp.arange(fluxes.shape[-1]) % 2).astype(jnp.float32)
+            kwargs.update(
+                child_slot_side=jnp.broadcast_to(sides, fluxes.shape),
+                child_ghost_rate=jnp.zeros(
+                    fluxes.shape[:-1] + (model.height * model.width,)
+                ),
+            )
+        ctx = ctx.replace(
+            temperature=jnp.full((2, 1, 1), 0.5), **kwargs
+        )
+        kx = SingleComponentMALA(
+            num_iters=800,
+            locs_step=jnp.float32(0.12),
+            fluxes_step=jnp.float32(2.0),
+            fluxes_min=kernel_mh.fluxes_min,
+            fluxes_max=kernel_mh.fluxes_max,
+            backend="xla",
+        )
+        kp = kx.replace(backend="pallas")
+        stx, accx = jax.jit(
+            lambda k, l, f: kx.run(k, ctx, counts, l, f)
+        )(jax.random.key(5), locs, fluxes)
+        stp, accp = jax.jit(
+            lambda k, l, f: kp.run(k, ctx, counts, l, f)
+        )(jax.random.key(5), locs, fluxes)
+
+        assert float(accp.mean()) > 0.05
+        assert abs(float(accp.mean()) - float(accx.mean())) < 0.02
+
+        # equilibrated-bulk bridge-target quantiles agree
+        def lt(st):
+            return np.asarray(
+                st.logprior + 0.5 * st.parent_ll + 0.5 * st.child_ll
+            ).ravel()
+
+        ltx, ltp = lt(stx), lt(stp)
+        for q in (50, 75):
+            a, b = np.percentile(ltx, q), np.percentile(ltp, q)
+            assert abs(a - b) <= 0.05 * abs(a) + 5.0, (q, a, b)
+
+        # caches (incl. the child pair) equal a from-scratch recompute
+        fresh = init_kernel_state(ctx, counts, stp.locs, stp.fluxes)
+        for name in ("rate", "child_rate"):
+            got = np.asarray(getattr(stp, name))
+            want = np.asarray(getattr(fresh, name))
+            scale = np.maximum(np.abs(want), 1.0)
+            assert (np.abs(got - want) / scale).max() < 2e-3, name
+        for name in ("parent_ll", "child_ll"):
+            got = np.asarray(getattr(stp, name))
+            want = np.asarray(getattr(fresh, name))
+            scale = np.maximum(np.abs(want), 1.0)
+            assert (np.abs(got - want) / scale).max() < 2e-3, name
+        assert np.abs(
+            np.asarray(fresh.logprior - stp.logprior)
+        ).max() < 0.01
 
     def test_analytic_gradient_matches_autodiff(self):
         """The closed-form slot gradient the kernel implements must equal

@@ -78,21 +78,25 @@ def _microbench(
         o_ref[...] = jax.lax.fori_loop(0, n_chain, body, x_ref[...])
 
     x = jnp.full((grid, hw, p), 0.5, dtype=jnp.float32)
-    run = jax.jit(
-        pl.pallas_call(
-            kernel,
-            grid=(grid,),
-            in_specs=[pl.BlockSpec((1, hw, p), lambda i: (i, 0, 0))],
-            out_specs=pl.BlockSpec((1, hw, p), lambda i: (i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((grid, hw, p), jnp.float32),
-            interpret=interpret,
-        )
+    inner = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((1, hw, p), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((1, hw, p), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid, hw, p), jnp.float32),
+        interpret=interpret,
     )
-    jax.block_until_ready(run(x))  # compile
+    # reduce to a scalar INSIDE the jit so the timed fetch is one small
+    # RPC that cannot complete before the kernel does. Timing the bare
+    # dispatch (round-3 bug) measured the async-dispatch latency, not
+    # the kernel: block_until_ready over the axon tunnel returned in
+    # ~30 us and reported a 9.6 Pflop/s "VPU" (docs/PERF.md roofline).
+    run = jax.jit(lambda v: inner(v)[0, 0, 0])
+    float(run(x))  # compile + first execute
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(run(x))
+        float(run(x))  # blocks on the scalar: kernel + one ~25-50 ms RPC
         best = min(best, time.perf_counter() - t0)
     ops = grid * hw * p * n_chain * (2 if kind == "fma" else 1)
     return ops / best
@@ -105,8 +109,11 @@ def main():
                         "against the ceiling (pass the fresh bench.py "
                         "number; default: the round-3 sorted-chunk "
                         "full-frame measurement, docs/PERF.md)")
-    parser.add_argument("--n-chain", type=int, default=16384)
-    parser.add_argument("--grid", type=int, default=512)
+    parser.add_argument(
+        "--n-chain", type=int, default=4096,
+        help="fma chain length (sized for ~3-5 s/rep on v5e; the exp "
+        "chain runs n_chain/4 since transcendentals are ~4-8x slower)")
+    parser.add_argument("--grid", type=int, default=256)
     parser.add_argument("--p", type=int, default=256)
     parser.add_argument(
         "--interpret", action="store_true",
@@ -124,7 +131,8 @@ def main():
         "fma", args.n_chain, args.grid, HW, args.p, args.interpret
     )
     r_trans = _microbench(
-        "exp", args.n_chain, args.grid, HW, args.p, args.interpret
+        "exp", max(args.n_chain // 4, 64), args.grid, HW, args.p,
+        args.interpret,
     )
 
     measured = args.updates_per_s

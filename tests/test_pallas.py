@@ -444,14 +444,21 @@ class TestFusedMALAOnTPU:
         assert float(accp.mean()) > 0.05
         assert abs(float(accp.mean()) - float(accx.mean())) < 0.02
 
-        # equilibrated-bulk bridge-target quantiles agree
+        # equilibrated-bulk bridge-target quantiles agree. Only the
+        # upper bulk is compared: on the tau=0.5 bridge target the
+        # population's lower half is still warm-up-dominated at 800
+        # sweeps — the XLA chain's own seed-to-seed q50 spread is 110
+        # nats (tag) / 198 nats (legacy), which swallowed the round-4
+        # on-chip backend gap of ~95 nats — while q75/q90 are
+        # seed-reproducible to <0.6 nats (measured over seeds 5-9 on
+        # CPU; threefry makes the XLA arm platform-independent).
         def lt(st):
             return np.asarray(
                 st.logprior + 0.5 * st.parent_ll + 0.5 * st.child_ll
             ).ravel()
 
         ltx, ltp = lt(stx), lt(stp)
-        for q in (50, 75):
+        for q in (75, 90):
             a, b = np.percentile(ltx, q), np.percentile(ltp, q)
             assert abs(a - b) <= 0.05 * abs(a) + 5.0, (q, a, b)
 

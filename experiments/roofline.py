@@ -58,24 +58,40 @@ TRANS_PER_UPDATE = HW * TRANS_PER_PX + 18
 
 def _microbench(
     kind: str, n_chain: int, grid: int, hw: int, p: int,
-    interpret: bool = False,
+    interpret: bool = False, streams: int = 8,
 ):
-    """Gops/s of a dependent op chain over a [hw, p] f32 block."""
+    """Gops/s of ``streams`` independent op chains over [hw, p] f32
+    blocks.
+
+    A SINGLE dependent chain is latency-bound — measured 964 Gflop/s on
+    v5e, ~8x below the VPU's pipelined peak, which put the round-4
+    "ceiling" at a third of the sweep kernel's MEASURED throughput.
+    The real kernel has abundant ILP (independent pixels, slots and
+    particles in flight), so the relevant ceiling is the pipelined
+    rate: run several independent chains so the VPU pipeline fills.
+    """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     def kernel(x_ref, o_ref):
-        def body(i, x):
+        x0 = x_ref[...]
+        init = tuple(x0 + jnp.float32(0.001) * k for k in range(streams))
+
+        def body(i, xs):
             if kind == "fma":
-                # 2 flops per element per step
-                return x * 1.0000001 + 1e-9
+                # 2 flops per element per step per stream
+                return tuple(x * 1.0000001 + 1e-9 for x in xs)
             # one transcendental per element per step; the negation
             # keeps the chain in (0, 1] so it neither over- nor
             # underflows across the loop
-            return jnp.exp(-x)
+            return tuple(jnp.exp(-x) for x in xs)
 
-        o_ref[...] = jax.lax.fori_loop(0, n_chain, body, x_ref[...])
+        xs = jax.lax.fori_loop(0, n_chain, body, init)
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = acc + x
+        o_ref[...] = acc
 
     x = jnp.full((grid, hw, p), 0.5, dtype=jnp.float32)
     inner = pl.pallas_call(
@@ -98,7 +114,7 @@ def _microbench(
         t0 = time.perf_counter()
         float(run(x))  # blocks on the scalar: kernel + one ~25-50 ms RPC
         best = min(best, time.perf_counter() - t0)
-    ops = grid * hw * p * n_chain * (2 if kind == "fma" else 1)
+    ops = streams * grid * hw * p * n_chain * (2 if kind == "fma" else 1)
     return ops / best
 
 
@@ -110,9 +126,10 @@ def main():
                         "number; default: the round-3 sorted-chunk "
                         "full-frame measurement, docs/PERF.md)")
     parser.add_argument(
-        "--n-chain", type=int, default=4096,
-        help="fma chain length (sized for ~3-5 s/rep on v5e; the exp "
-        "chain runs n_chain/4 since transcendentals are ~4-8x slower)")
+        "--n-chain", type=int, default=1024,
+        help="fma chain length (sized for ~10 s/rep on v5e across the "
+        "8 ILP streams; the exp chain runs n_chain/4 since "
+        "transcendentals are ~4-8x slower)")
     parser.add_argument("--grid", type=int, default=256)
     parser.add_argument("--p", type=int, default=256)
     parser.add_argument(

@@ -58,12 +58,29 @@ class SDSSPSF:
     b: jax.Array
     p0: jax.Array
     normalizing_constant: jax.Array
+    # Static (non-pytree) specialization hint: SDSS psField fits pin the
+    # wing exponent at beta = 3, for which the power law is
+    # ``(1+x)^(-3/2) = rsqrt((1+x)^3)`` — two multiplies and an rsqrt
+    # instead of an exp + log1p PER PIXEL PER RENDER, the largest
+    # transcendental cost in the fused sweep kernel (594/update counted
+    # in experiments/roofline.py, 512 of them from the two wing+core
+    # renders). Being static, the flag survives jit tracing of the model
+    # (it rides the treedef), so the Pallas wrapper can specialize the
+    # kernel even though the numeric fields are tracers. ``create`` sets
+    # it only from CONCRETE params (under-trace construction — e.g. the
+    # LBFGS PSF fit differentiating through ``unnormalized`` — always
+    # gets the general path, so d/d(beta) stays exact there).
+    wing_beta3: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, psf_params, psf_radius: int) -> "SDSSPSF":
         sigma1, sigma2, sigmap, beta, b, p0 = (
             jnp.asarray(p, dtype=jnp.float32) for p in psf_params
         )
+        try:
+            wing_beta3 = abs(float(psf_params[3]) - 3.0) < 1e-6
+        except Exception:  # traced beta: cannot specialize
+            wing_beta3 = False
         unnorm = cls(
             sigma1=sigma1,
             sigma2=sigma2,
@@ -72,6 +89,7 @@ class SDSSPSF:
             b=b,
             p0=p0,
             normalizing_constant=jnp.asarray(1.0, dtype=jnp.float32),
+            wing_beta3=wing_beta3,
         )
         side = 32 * psf_radius
         # Grid points 0..side-1; star at (side/2, side/2); pixel centres at
@@ -84,9 +102,12 @@ class SDSSPSF:
     def unnormalized(self, r2):
         term1 = jnp.exp(-r2 / (2.0 * self.sigma1))
         term2 = self.b * jnp.exp(-r2 / (2.0 * self.sigma2))
-        term3 = self.p0 * (1.0 + r2 / (self.beta * self.sigmap)) ** (
-            -self.beta / 2.0
-        )
+        q = 1.0 + r2 / (self.beta * self.sigmap)
+        if self.wing_beta3:
+            # (1+x)^(-3/2) without pow/exp/log (see the field docstring)
+            term3 = self.p0 * jax.lax.rsqrt(q * q * q)
+        else:
+            term3 = self.p0 * q ** (-self.beta / 2.0)
         return (term1 + term2 + term3) / (1.0 + self.b + self.p0)
 
     def normalized(self, r2):

@@ -141,7 +141,8 @@ def supports_mala(ctx, kernel) -> bool:
 
 
 def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
-                 flux_is_normal, child_axis=None, side_from_tag=False):
+                 flux_is_normal, child_axis=None, side_from_tag=False,
+                 wing_beta3=False):
     HW = H * W
     has_child = child_axis is not None
 
@@ -228,9 +229,16 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
                 )
                 term1 = jnp.exp(-r2 / (2.0 * s1))
                 term2 = bb * jnp.exp(-r2 / (2.0 * s2))
-                term3 = p0 * jnp.exp(
-                    (-beta / 2.0) * jnp.log1p(r2 / (beta * sp))
-                )
+                if wing_beta3:
+                    # beta = 3 (every repo config; SDSS pins it there):
+                    # (1+x)^(-3/2) = rsqrt((1+x)^3) — saves an exp + log
+                    # per pixel per render (models/psf.py wing_beta3)
+                    qv = 1.0 + r2 / (beta * sp)
+                    term3 = p0 * jax.lax.rsqrt(qv * qv * qv)
+                else:
+                    term3 = p0 * jnp.exp(
+                        (-beta / 2.0) * jnp.log1p(r2 / (beta * sp))
+                    )
                 return (term1 + term2 + term3) / ((1.0 + bb + p0) * pp[19])
             stdev = pp[13]
             return jnp.exp(-0.5 * r2 / (stdev * stdev)) / (
@@ -436,7 +444,7 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
 
 def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
                       flux_is_pareto, flux_is_normal, child_axis=None,
-                      side_from_tag=False):
+                      side_from_tag=False, wing_beta3=False):
     """Fused single-component MALA sweep loop (tile and bridge targets).
 
     The slot target's gradient is closed-form — no autodiff inside the
@@ -561,9 +569,15 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
                 norm = (1.0 + bb + p0) * pp[19]
                 t1 = jnp.exp(-r2 / (2.0 * s1))
                 t2 = bb * jnp.exp(-r2 / (2.0 * s2))
-                wing = jnp.exp(
-                    (-beta / 2.0) * jnp.log1p(r2 / (beta * sp))
-                )
+                if wing_beta3:
+                    # beta = 3: rsqrt((1+x)^3) (see the MH kernel); the
+                    # dpsi wing term below is exponent-form-independent
+                    qv = 1.0 + r2 / (beta * sp)
+                    wing = jax.lax.rsqrt(qv * qv * qv)
+                else:
+                    wing = jnp.exp(
+                        (-beta / 2.0) * jnp.log1p(r2 / (beta * sp))
+                    )
                 t3 = p0 * wing
                 psi = (t1 + t2 + t3) / norm
                 dpsi = (
@@ -817,12 +831,14 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
     jax.jit,
     static_argnames=("num_iters", "block", "noise", "psf_kind",
                      "flux_is_pareto", "flux_is_normal", "dims",
-                     "child_axis", "side_from_tag", "variant"),
+                     "child_axis", "side_from_tag", "variant",
+                     "wing_beta3"),
 )
 def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
          pll, lp, child_rate=None, cll=None, slot_side=None, *, num_iters,
          block, noise, psf_kind, flux_is_pareto, flux_is_normal, dims,
-         child_axis=None, side_from_tag=False, variant="mh"):
+         child_axis=None, side_from_tag=False, variant="mh",
+         wing_beta3=False):
     T, CN, M, H, W = dims
     HW = H * W
     P = block
@@ -833,12 +849,14 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
         kern = _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
                                  flux_is_pareto, flux_is_normal,
                                  child_axis=child_axis,
-                                 side_from_tag=side_from_tag)
+                                 side_from_tag=side_from_tag,
+                                 wing_beta3=wing_beta3)
     else:
         kern = _make_kernel(H, W, M, P, num_iters, noise, psf_kind,
                             flux_is_pareto, flux_is_normal,
                             child_axis=child_axis,
-                            side_from_tag=side_from_tag)
+                            side_from_tag=side_from_tag,
+                            wing_beta3=wing_beta3)
 
     # lane-major reshapes: [T, CN, ...] -> [T*nb, rows, P]
     def to_blocks(x, rows):
@@ -1118,6 +1136,7 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
         flux_is_pareto=flux_is_pareto, flux_is_normal=flux_is_normal,
         dims=(T, CN + pad, M, H, W), child_axis=child_axis,
         side_from_tag=side_from_tag, variant=variant,
+        wing_beta3=is_sdss and getattr(psf, "wing_beta3", False),
     )
     locs_out, fluxes_out, rate_out, pll_out, lp_out, acc, crate_o, cll_o = o
     # strip padding, restore batch shape

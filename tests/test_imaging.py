@@ -130,6 +130,27 @@ class TestSDSSPSF:
         vals = np.asarray(psf.normalized(r2))
         assert (np.diff(vals) < 0).all()
 
+    def test_wing_beta3_fast_path_matches_general(self):
+        # beta = 3 (every repo config): the wing is computed as
+        # rsqrt((1+x)^3) instead of a pow — must agree with the general
+        # path to f32 rounding, and only engage for concrete beta == 3
+        psf = SDSSPSF.create(M71_PSF_PARAMS, psf_radius=8)
+        assert psf.wing_beta3
+        general = psf.replace(wing_beta3=False)
+        r2 = jnp.linspace(0.0, 300.0, 3001)
+        a = np.asarray(psf.normalized(r2))
+        b = np.asarray(general.normalized(r2))
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+        off = tuple(
+            p if i != 3 else 2.9 for i, p in enumerate(M71_PSF_PARAMS)
+        )
+        assert not SDSSPSF.create(off, psf_radius=8).wing_beta3
+        # traced construction (the LBFGS PSF-fit path) must fall back
+        traced = jax.jit(
+            lambda pp: SDSSPSF.create(tuple(pp), 8).normalized(r2)
+        )(jnp.asarray(M71_PSF_PARAMS))
+        np.testing.assert_allclose(np.asarray(traced), b, rtol=1e-6)
+
 
 class TestReferenceParity:
     def test_gaussian_loglik_matches_reference(self):

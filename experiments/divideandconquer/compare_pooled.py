@@ -37,6 +37,13 @@ def main():
     parser.add_argument("--pair-sweeps", type=int, default=0)
     parser.add_argument("--suffix", type=str, default="")
     parser.add_argument(
+        "--dump",
+        action="store_true",
+        help="also save the per-rep per-image count pmfs of both "
+        "pipelines (pooled_pmfs<suffix>.npz) for per-image attribution "
+        "of the cross-pipeline TVD",
+    )
+    parser.add_argument(
         "--cpu",
         action="store_true",
         help="force the CPU backend (the axon TPU plugin overrides "
@@ -211,6 +218,13 @@ def main():
     with open(out_dir / name, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
+    if args.dump:
+        np.savez_compressed(
+            out_dir / f"pooled_pmfs{args.suffix}.npz",
+            st_pmfs=np.asarray(st_pmfs),
+            dc_pmfs=np.asarray(dc_pmfs),
+            true_counts=np.asarray(tiles["true_counts"][:n]),
+        )
 
 
 if __name__ == "__main__":

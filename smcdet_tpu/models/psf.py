@@ -18,6 +18,13 @@ from flax import struct
 
 __all__ = ["GaussianPSF", "SDSSPSF"]
 
+# Errors raised when forcing a traced value to a python scalar.
+_TRACED_VALUE_ERRORS = (
+    TypeError,
+    jax.errors.TracerArrayConversionError,
+    jax.errors.ConcretizationTypeError,
+)
+
 
 @struct.dataclass
 class GaussianPSF:
@@ -72,6 +79,25 @@ class SDSSPSF:
     # gets the general path, so d/d(beta) stays exact there).
     wing_beta3: bool = struct.field(pytree_node=False, default=False)
 
+    def __post_init__(self):
+        # Loud-fail drift guard (ADVICE r4): the flag is a cached predicate
+        # of ``beta``; ``replace(beta=...)`` or direct construction with a
+        # stale True flag would silently render the wrong wing profile.
+        # With a concrete beta we can check; a traced beta (jit
+        # reconstruction) inherited the flag from a concrete ``create``.
+        if self.wing_beta3:
+            try:
+                ok = abs(float(self.beta) - 3.0) < 1e-6
+            except _TRACED_VALUE_ERRORS:
+                return
+            if not ok:
+                raise ValueError(
+                    "SDSSPSF.wing_beta3 is set but beta="
+                    f"{float(self.beta)} != 3; construct via SDSSPSF.create "
+                    "(or clear the flag) so the wing specialization stays "
+                    "consistent"
+                )
+
     @classmethod
     def create(cls, psf_params, psf_radius: int) -> "SDSSPSF":
         sigma1, sigma2, sigmap, beta, b, p0 = (
@@ -79,7 +105,7 @@ class SDSSPSF:
         )
         try:
             wing_beta3 = abs(float(psf_params[3]) - 3.0) < 1e-6
-        except Exception:  # traced beta: cannot specialize
+        except _TRACED_VALUE_ERRORS:  # traced beta: cannot specialize
             wing_beta3 = False
         unnorm = cls(
             sigma1=sigma1,

@@ -120,24 +120,13 @@ def supports(ctx, kernel) -> bool:
 def supports_mala(ctx, kernel) -> bool:
     """True if the fused MALA kernel covers this target configuration.
 
-    Same model/PSF/bridge coverage as the MH kernel: the bridge's child
-    term contributes ``(1 - tau) * dll_child`` through the side-masked
+    Same model/PSF/bridge coverage as the MH kernel (delegates — the
+    predicates are identical by construction): the bridge's child term
+    contributes ``(1 - tau) * dll_child`` through the side-masked
     render, whose gradient is the parent render's gradient times the
     (piecewise-constant, hence gradient-transparent) side mask — exactly
     what ``jax.grad`` of the XLA slot target computes."""
-    from smcdet_tpu.models.psf import GaussianPSF, SDSSPSF
-
-    child_ok = ctx.child_model is None or (
-        ctx.child_model is ctx.model
-        and hasattr(ctx.child_side_mask, "axis")
-        and hasattr(ctx.child_side_mask, "boundary")
-    )
-    return (
-        child_ok
-        and ctx.model.noise in ("gaussian", "poisson")
-        and isinstance(ctx.model.psf, (GaussianPSF, SDSSPSF))
-        and jax.devices()[0].platform == "tpu"
-    )
+    return supports(ctx, kernel)
 
 
 def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,

@@ -69,9 +69,9 @@ class SDSSPSF:
     # wing exponent at beta = 3, for which the power law is
     # ``(1+x)^(-3/2) = rsqrt((1+x)^3)`` — two multiplies and an rsqrt
     # instead of an exp + log1p PER PIXEL PER RENDER, the largest
-    # transcendental cost in the fused sweep kernel (594/update counted
-    # in experiments/roofline.py, 512 of them from the two wing+core
-    # renders). Being static, the flag survives jit tracing of the model
+    # transcendental cost in the fused sweep kernel (the wing+core
+    # renders carry 384 of the ~472 transcendentals/update counted in
+    # experiments/roofline.py). Being static, the flag survives jit tracing of the model
     # (it rides the treedef), so the Pallas wrapper can specialize the
     # kernel even though the numeric fields are tracers. ``create`` sets
     # it only from CONCRETE params (under-trace construction — e.g. the

@@ -10,9 +10,15 @@ of once per sweep. The payoff grows with tile size — at the aggregation
 tree's upper levels the rate cache is the dominant HBM traffic.
 
 Layout notes (TPU):
-- Everything is lane-major ``[rows, P]`` with the particle block P on the
-  128-wide lane axis; pixels/slots are rows, so per-pixel math runs at
-  full VPU utilization.
+- Two particle layouts share one kernel body via the ``_layout`` shape
+  adapters. "classic": lane-major ``[rows, P]`` blocks (P=256 on the
+  128-wide lane axis). "packed" (default for N a multiple of 1024):
+  particle blocks of 8*128 tile the (sublane, lane) axes, so the
+  per-update scalar math (uniform draws, truncated-normal
+  sampling/masses, accept logic) runs on FULL (8, 128) vregs instead of
+  1-sublane rows — measured 1.8x end-to-end (577 M vs 324 M updates/s
+  on the full-frame north star, docs/PERF.md round 5). Per-pixel math
+  is full-width in both.
 - Slot selection uses one-hot masks (broadcasted iota) — no gathers.
 - ``erf`` is not lowered by Mosaic, so Phi uses the Abramowitz-Stegun
   7.1.26 polynomial (~1.5e-7 abs error); ``erf_inv`` is native. The
@@ -129,11 +135,52 @@ def supports_mala(ctx, kernel) -> bool:
     return supports(ctx, kernel)
 
 
+def _layout(packed: bool, P: int):
+    """Shape adapters for the two particle layouts.
+
+    classic: particle block P rides the lane axis — scalars are
+      ``[1, P]``, row arrays ``[rows, P]``. Every scalar op executes on
+      (8, 128) vregs with ONE live sublane (1/8 utilization), and
+      ``[M, P]`` slot ops at M/8 — measured ~3.6x effective-rate
+      penalty vs full vregs (docs/PERF.md roofline, round 5).
+    packed: particle block 8*128 tiles the (sublane, lane) axes —
+      scalars are ``(8, 128)`` (one full vreg), row arrays
+      ``[rows, 8, 128]``. Per-pixel math is unchanged (it was already
+      full-width); the per-update scalar math (~340 flops + 24
+      transcendentals: uniforms, truncated-normal sampling/masses,
+      accept logic) runs at full sublane utilization.
+
+    Returns ``(S, up, rsum)``: the scalar shape, the
+    lift-scalar-to-row-broadcastable adapter, and the
+    reduce-rows-to-scalar adapter.
+    """
+    if packed:
+        S = (8, 128)
+
+        def up(x):
+            return x[None]
+
+        def rsum(x):
+            return x.sum(axis=0)
+
+    else:
+        S = (1, P)
+
+        def up(x):
+            return x
+
+        def rsum(x):
+            return x.sum(axis=0, keepdims=True)
+
+    return S, up, rsum
+
+
 def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
                  flux_is_normal, child_axis=None, side_from_tag=False,
-                 wing_beta3=False):
+                 wing_beta3=False, packed=False):
     HW = H * W
     has_child = child_axis is not None
+    S, up, rsum = _layout(packed, P)
 
     def kernel(*refs):
         # inputs: seed, params, temp, image, img_lgamma, counts, locs_y,
@@ -203,13 +250,17 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
 
         tau = temp_ref[t]
 
-        image = image_ref[0, :, :]  # [HW, 1]
-        counts = counts_ref[0]  # [1, P]
+        image = image_ref[0]  # [HW, 1] / [HW, 1, 1]
+        counts = counts_ref[0]  # S
 
-        hh_i = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)
-        h_pix = (hh_i // W).astype(jnp.float32) + 0.5  # [HW, 1]
+        hh_i = jax.lax.broadcasted_iota(
+            jnp.int32, (HW, 1, 1) if packed else (HW, 1), 0
+        )
+        h_pix = (hh_i // W).astype(jnp.float32) + 0.5  # [HW, 1(, 1)]
         w_pix = (hh_i % W).astype(jnp.float32) + 0.5
-        m_iota = jax.lax.broadcasted_iota(jnp.int32, (M, P), 0)
+        m_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (M,) + (S if packed else S[1:]), 0
+        )
 
         def psf_eval(r2):
             if psf_kind == "sdss":
@@ -235,11 +286,12 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
             )
 
         def star_image(ly, lx):
-            # ly, lx: [1, P] -> [HW, P]
-            dy = h_pix - ly
-            dx = w_pix - lx
-            in_h = jnp.abs(h_pix - 0.5 - jnp.floor(ly)) <= psf_radius
-            in_w = jnp.abs(w_pix - 0.5 - jnp.floor(lx)) <= psf_radius
+            # ly, lx: S -> [HW] + S
+            uly, ulx = up(ly), up(lx)
+            dy = h_pix - uly
+            dx = w_pix - ulx
+            in_h = jnp.abs(h_pix - 0.5 - jnp.floor(uly)) <= psf_radius
+            in_w = jnp.abs(w_pix - 0.5 - jnp.floor(ulx)) <= psf_radius
             r2 = dy * dy + dx * dx
             return jnp.where(in_h & in_w, psf_eval(r2), 0.0)
 
@@ -249,21 +301,22 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
             # masked to its own side (inference/aggregate.py)
             pix_coord = (
                 (hh_i // W) if child_axis == 0 else (hh_i % W)
-            ).astype(jnp.float32) + 0.5  # [HW, 1] pixel centre coord
+            ).astype(jnp.float32) + 0.5  # [HW, 1(, 1)] pixel centre coord
             # f32 arithmetic select (bool broadcast-select of mixed shapes
             # hits a Mosaic truncation limitation)
-            pix1 = (pix_coord < boundary).astype(jnp.float32)  # [HW, 1]
+            pix1 = (pix_coord < boundary).astype(jnp.float32)
 
             def side_mask(ly, lx):
-                star_c = ly if child_axis == 0 else lx  # [1, P]
-                star1 = (star_c <= boundary).astype(jnp.float32)
-                return pix1 * star1 + (1.0 - pix1) * (1.0 - star1)  # [HW, P]
+                star_c = ly if child_axis == 0 else lx  # S
+                star1 = up((star_c <= boundary).astype(jnp.float32))
+                return pix1 * star1 + (1.0 - pix1) * (1.0 - star1)
 
             def side_mask_from(side1):
-                # side1 [1, P] in {0., 1.}: the slot's ORIGIN child window
+                # side1 S in {0., 1.}: the slot's ORIGIN child window
                 # (fixed under mutation — the exact product-of-children
                 # base measure, inference/aggregate.py)
-                return pix1 * side1 + (1.0 - pix1) * (1.0 - side1)
+                uside = up(side1)
+                return pix1 * uside + (1.0 - pix1) * (1.0 - uside)
 
         def loglik(rate):
             if noise == "gaussian":
@@ -279,12 +332,12 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
                 logpmf = (
                     image * jnp.log(rate)
                     - rate
-                    - img_lgamma_ref[0, :, :]
+                    - img_lgamma_ref[0]
                 )
                 z2 = (image - rate) ** 2 / rate
                 lognorm = -0.5 * z2 - 0.5 * jnp.log(rate) - _HALF_LOG_2PI
                 ll = jnp.where(rate > normal_tail, lognorm, logpmf)
-            return ll.sum(axis=0, keepdims=True)  # [1, P]
+            return rsum(ll)  # S
 
         def flux_log_prob(f):
             if flux_is_pareto:
@@ -305,48 +358,46 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
             # ~50% averaged over counts 0..M. Occupied slots are
             # exchangeable, so uniform selection among them is symmetric
             # and the kernel stays exact for the same stratum target.
-            u_j = _uniform((1, P))
+            u_j = _uniform(S)
             counts_f = counts.astype(jnp.float32)
             j = jnp.minimum(
                 jnp.floor(u_j * counts_f).astype(jnp.int32),
                 counts - 1,
-            )  # [1, P]
-            onehot = (m_iota == j).astype(jnp.float32)  # [M, P]
-            active = (counts > 0).astype(jnp.float32)  # [1, P]
+            )  # S
+            onehot = (m_iota == up(j)).astype(jnp.float32)  # [M] + S
+            active = (counts > 0).astype(jnp.float32)  # S
 
-            loc_jy = (locs_y * onehot).sum(0, keepdims=True)  # [1, P]
-            loc_jx = (locs_x * onehot).sum(0, keepdims=True)
-            f_j = (fluxes * onehot).sum(0, keepdims=True)
+            loc_jy = rsum(locs_y * onehot)  # S
+            loc_jx = rsum(locs_x * onehot)
+            f_j = rsum(fluxes * onehot)
 
             y_prop, mass_y = _tn_sample_logq(
-                _uniform((1, P)), loc_jy, locs_stdev, loc_low_y, loc_high_y
+                _uniform(S), loc_jy, locs_stdev, loc_low_y, loc_high_y
             )
             x_prop, mass_x = _tn_sample_logq(
-                _uniform((1, P)), loc_jx, locs_stdev, loc_low_x, loc_high_x
+                _uniform(S), loc_jx, locs_stdev, loc_low_x, loc_high_x
             )
             f_prop, mass_f = _tn_sample_logq(
-                _uniform((1, P)), f_j, fluxes_stdev, fluxes_min, fluxes_max
+                _uniform(S), f_j, fluxes_stdev, fluxes_min, fluxes_max
             )
 
-            old_img = star_image(loc_jy, loc_jx)  # [HW, P]
+            old_img = star_image(loc_jy, loc_jx)  # [HW] + S
             new_img = star_image(y_prop, x_prop)
-            delta = adu * (f_prop * new_img - f_j * old_img)
-            rate_prop = rate + active * delta
+            delta = adu * (up(f_prop) * new_img - up(f_j) * old_img)
+            rate_prop = rate + up(active) * delta
 
             pll_prop = loglik(rate_prop)
             if has_child:
                 if side_from_tag:
-                    side_j = (slot_side_ref[0] * onehot).sum(
-                        0, keepdims=True
-                    )  # [1, P]
+                    side_j = rsum(slot_side_ref[0] * onehot)  # S
                     w_old = w_new = side_mask_from(side_j)
                 else:
                     w_old = side_mask(loc_jy, loc_jx)
                     w_new = side_mask(y_prop, x_prop)
                 child_delta = adu * (
-                    f_prop * new_img * w_new - f_j * old_img * w_old
+                    up(f_prop) * new_img * w_new - up(f_j) * old_img * w_old
                 )
-                child_rate_prop = child_rate + active * child_delta
+                child_rate_prop = child_rate + up(active) * child_delta
                 cll_prop = loglik(child_rate_prop)
             else:
                 child_rate_prop, cll_prop = child_rate, cll
@@ -381,21 +432,21 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
                     - (lp + tau * pll)
                     + log_q_rev_minus_fwd
                 )
-            u_acc = _uniform((1, P))
+            u_acc = _uniform(S)
             accept = (
                 (u_acc <= jnp.exp(jnp.minimum(log_alpha, 0.0)))
                 & (active > 0)
-            ).astype(jnp.float32)  # [1, P]
+            ).astype(jnp.float32)  # S
 
-            sel = onehot * accept  # [M, P]
-            locs_y = locs_y + sel * (y_prop - loc_jy)
-            locs_x = locs_x + sel * (x_prop - loc_jx)
-            fluxes = fluxes + sel * (f_prop - f_j)
-            rate = rate + accept * (rate_prop - rate)
+            sel = onehot * up(accept)  # [M] + S
+            locs_y = locs_y + sel * up(y_prop - loc_jy)
+            locs_x = locs_x + sel * up(x_prop - loc_jx)
+            fluxes = fluxes + sel * up(f_prop - f_j)
+            rate = rate + up(accept) * (rate_prop - rate)
             pll = pll + accept * (pll_prop - pll)
             lp = lp + accept * (lp_prop - lp)
             if has_child:
-                child_rate = child_rate + accept * (
+                child_rate = child_rate + up(accept) * (
                     child_rate_prop - child_rate
                 )
                 cll = cll + accept * (cll_prop - cll)
@@ -410,7 +461,7 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
             rate_ref[0],
             pll_ref[0],
             lp_ref[0],
-            jnp.zeros((1, P), jnp.float32),
+            jnp.zeros(S, jnp.float32),
             child_rate_ref[0] if has_child else jnp.zeros((1, 1)),
             cll_ref[0] if has_child else jnp.zeros((1, 1)),
         )
@@ -433,7 +484,7 @@ def _make_kernel(H, W, M, P, num_iters, noise, psf_kind, flux_is_pareto,
 
 def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
                       flux_is_pareto, flux_is_normal, child_axis=None,
-                      side_from_tag=False, wing_beta3=False):
+                      side_from_tag=False, wing_beta3=False, packed=False):
     """Fused single-component MALA sweep loop (tile and bridge targets).
 
     The slot target's gradient is closed-form — no autodiff inside the
@@ -457,6 +508,7 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
     """
     HW = H * W
     has_child = child_axis is not None
+    S, up, rsum = _layout(packed, P)
 
     def kernel(*refs):
         (
@@ -516,13 +568,17 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
         boundary = pp[23]  # aggregation-bridge tile boundary (child term)
 
         tau = temp_ref[t]
-        image = image_ref[0, :, :]  # [HW, 1]
-        counts = counts_ref[0]  # [1, P]
+        image = image_ref[0]  # [HW, 1] / [HW, 1, 1]
+        counts = counts_ref[0]  # S
 
-        hh_i = jax.lax.broadcasted_iota(jnp.int32, (HW, 1), 0)
+        hh_i = jax.lax.broadcasted_iota(
+            jnp.int32, (HW, 1, 1) if packed else (HW, 1), 0
+        )
         h_pix = (hh_i // W).astype(jnp.float32) + 0.5
         w_pix = (hh_i % W).astype(jnp.float32) + 0.5
-        m_iota = jax.lax.broadcasted_iota(jnp.int32, (M, P), 0)
+        m_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (M,) + (S if packed else S[1:]), 0
+        )
 
         if has_child:
             # same side-mask construction as the fused MH kernel: child
@@ -531,24 +587,26 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
             # of mixed shapes hits a Mosaic truncation limitation)
             pix_coord = (
                 (hh_i // W) if child_axis == 0 else (hh_i % W)
-            ).astype(jnp.float32) + 0.5  # [HW, 1]
-            pix1 = (pix_coord < boundary).astype(jnp.float32)  # [HW, 1]
+            ).astype(jnp.float32) + 0.5  # [HW, 1(, 1)]
+            pix1 = (pix_coord < boundary).astype(jnp.float32)
 
             def side_mask(ly, lx):
-                star_c = ly if child_axis == 0 else lx  # [1, P]
-                star1 = (star_c <= boundary).astype(jnp.float32)
+                star_c = ly if child_axis == 0 else lx  # S
+                star1 = up((star_c <= boundary).astype(jnp.float32))
                 return pix1 * star1 + (1.0 - pix1) * (1.0 - star1)
 
             def side_mask_from(side1):
-                # side1 [1, P] in {0., 1.}: the slot's ORIGIN child window
-                return pix1 * side1 + (1.0 - pix1) * (1.0 - side1)
+                # side1 S in {0., 1.}: the slot's ORIGIN child window
+                uside = up(side1)
+                return pix1 * uside + (1.0 - pix1) * (1.0 - uside)
 
         def psf_and_deriv(ly, lx):
-            """psi [HW,P], dpsi/dr2 [HW,P], dy, dx for one star."""
-            dy = h_pix - ly
-            dx = w_pix - lx
-            in_h = jnp.abs(h_pix - 0.5 - jnp.floor(ly)) <= psf_radius
-            in_w = jnp.abs(w_pix - 0.5 - jnp.floor(lx)) <= psf_radius
+            """psi, dpsi/dr2, dy, dx ([HW] + S) for one star at S locs."""
+            uly, ulx = up(ly), up(lx)
+            dy = h_pix - uly
+            dx = w_pix - ulx
+            in_h = jnp.abs(h_pix - 0.5 - jnp.floor(uly)) <= psf_radius
+            in_w = jnp.abs(w_pix - 0.5 - jnp.floor(ulx)) <= psf_radius
             mask = (in_h & in_w).astype(jnp.float32)
             r2 = dy * dy + dx * dx
             if psf_kind == "sdss":
@@ -592,12 +650,12 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
                 )
             else:
                 logpmf = (
-                    image * jnp.log(rate) - rate - img_lgamma_ref[0, :, :]
+                    image * jnp.log(rate) - rate - img_lgamma_ref[0]
                 )
                 z2 = (image - rate) ** 2 / rate
                 lognorm = -0.5 * z2 - 0.5 * jnp.log(rate) - _HALF_LOG_2PI
                 ll = jnp.where(rate > normal_tail, lognorm, logpmf)
-            return ll.sum(axis=0, keepdims=True)  # [1, P]
+            return rsum(ll)  # S
 
         def dll_drate(rate):
             """d loglik / d rate per pixel (same branch rules)."""
@@ -647,49 +705,43 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
              child_rate, cll) = carry
 
             # uniform over the occupied slot prefix (see the MH kernel)
-            u_j = _uniform((1, P))
+            u_j = _uniform(S)
             counts_f = counts.astype(jnp.float32)
             j = jnp.minimum(
                 jnp.floor(u_j * counts_f).astype(jnp.int32), counts - 1
             )
-            onehot = (m_iota == j).astype(jnp.float32)  # [M, P]
-            active = (counts > 0).astype(jnp.float32)  # [1, P]
+            onehot = (m_iota == up(j)).astype(jnp.float32)  # [M] + S
+            active = (counts > 0).astype(jnp.float32)  # S
 
-            loc_jy = (locs_y * onehot).sum(0, keepdims=True)
-            loc_jx = (locs_x * onehot).sum(0, keepdims=True)
-            f_j = (fluxes * onehot).sum(0, keepdims=True)
+            loc_jy = rsum(locs_y * onehot)
+            loc_jx = rsum(locs_x * onehot)
+            f_j = rsum(fluxes * onehot)
             f_safe = jnp.where(active > 0, f_j, fluxes_min)
 
             psi_o, dpsi_o, dy_o, dx_o = psf_and_deriv(loc_jy, loc_jx)
-            aeff = active * adu  # [1, P]
-            rate_wo = rate - aeff * f_j * psi_o
+            aeff = active * adu  # S
+            rate_wo = rate - up(aeff * f_j) * psi_o
             if has_child:
                 if side_from_tag:
-                    side_j = (slot_side_ref[0] * onehot).sum(
-                        0, keepdims=True
-                    )  # [1, P]
+                    side_j = rsum(slot_side_ref[0] * onehot)  # S
                     w_o = side_mask_from(side_j)
                 else:
                     w_o = side_mask(loc_jy, loc_jx)
-                child_rate_wo = child_rate - aeff * f_j * psi_o * w_o
+                child_rate_wo = child_rate - up(aeff * f_j) * psi_o * w_o
 
             # forward drift at the current point (rate is the cached full
             # render; the slot's loglik-sum comes cached in pll). The
             # bridge child term contributes through its own rate cache
             # with weight (1 - tau) and the side-masked render.
-            g_o = tau * dll_drate(rate)  # [HW, P]
+            g_o = tau * dll_drate(rate)  # [HW] + S
             if has_child:
                 gc_o = (1.0 - tau) * dll_drate(child_rate) * w_o
                 g_loc_o = g_o + gc_o
             else:
                 g_loc_o = g_o
-            gly = (g_loc_o * dpsi_o * (-2.0 * dy_o)).sum(
-                0, keepdims=True
-            ) * (aeff * f_j)
-            glx = (g_loc_o * dpsi_o * (-2.0 * dx_o)).sum(
-                0, keepdims=True
-            ) * (aeff * f_j)
-            gf = (g_loc_o * psi_o).sum(0, keepdims=True) * aeff + (
+            gly = rsum(g_loc_o * dpsi_o * (-2.0 * dy_o)) * (aeff * f_j)
+            glx = rsum(g_loc_o * dpsi_o * (-2.0 * dx_o)) * (aeff * f_j)
+            gf = rsum(g_loc_o * psi_o) * aeff + (
                 active * flux_log_prob_grad(f_safe)
             )
 
@@ -697,21 +749,23 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
             mu_x = loc_jx + half_ls2 * glx
             mu_f = f_safe + half_fs2 * gf
             y_prop, _ = _tn_sample_logq(
-                _uniform((1, P)), mu_y, locs_step, loc_low_y, loc_high_y
+                _uniform(S), mu_y, locs_step, loc_low_y, loc_high_y
             )
             x_prop, _ = _tn_sample_logq(
-                _uniform((1, P)), mu_x, locs_step, loc_low_x, loc_high_x
+                _uniform(S), mu_x, locs_step, loc_low_x, loc_high_x
             )
             f_prop, _ = _tn_sample_logq(
-                _uniform((1, P)), mu_f, fluxes_step, fluxes_min, fluxes_max
+                _uniform(S), mu_f, fluxes_step, fluxes_min, fluxes_max
             )
 
             psi_n, dpsi_n, dy_n, dx_n = psf_and_deriv(y_prop, x_prop)
-            rate_prop = rate_wo + aeff * f_prop * psi_n
+            rate_prop = rate_wo + up(aeff * f_prop) * psi_n
             pll_prop = loglik(rate_prop)
             if has_child:
                 w_n = w_o if side_from_tag else side_mask(y_prop, x_prop)
-                child_rate_prop = child_rate_wo + aeff * f_prop * psi_n * w_n
+                child_rate_prop = (
+                    child_rate_wo + up(aeff * f_prop) * psi_n * w_n
+                )
                 cll_prop = loglik(child_rate_prop)
             else:
                 child_rate_prop, cll_prop = child_rate, cll
@@ -726,13 +780,9 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
                 g_loc_n = g_n + gc_n
             else:
                 g_loc_n = g_n
-            gly_r = (g_loc_n * dpsi_n * (-2.0 * dy_n)).sum(
-                0, keepdims=True
-            ) * (aeff * f_prop)
-            glx_r = (g_loc_n * dpsi_n * (-2.0 * dx_n)).sum(
-                0, keepdims=True
-            ) * (aeff * f_prop)
-            gf_r = (g_loc_n * psi_n).sum(0, keepdims=True) * aeff + (
+            gly_r = rsum(g_loc_n * dpsi_n * (-2.0 * dy_n)) * (aeff * f_prop)
+            glx_r = rsum(g_loc_n * dpsi_n * (-2.0 * dx_n)) * (aeff * f_prop)
+            gf_r = rsum(g_loc_n * psi_n) * aeff + (
                 active * flux_log_prob_grad(f_prop)
             )
             mu_y_r = y_prop + half_ls2 * gly_r
@@ -766,21 +816,21 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
                     + log_q_rev
                     - log_q_fwd
                 )
-            u_acc = _uniform((1, P))
+            u_acc = _uniform(S)
             accept = (
                 (u_acc <= jnp.exp(jnp.minimum(log_alpha, 0.0)))
                 & (active > 0)
             ).astype(jnp.float32)
 
-            sel = onehot * accept
-            locs_y = locs_y + sel * (y_prop - loc_jy)
-            locs_x = locs_x + sel * (x_prop - loc_jx)
-            fluxes = fluxes + sel * (f_prop - f_j)
-            rate = rate + accept * (rate_prop - rate)
+            sel = onehot * up(accept)
+            locs_y = locs_y + sel * up(y_prop - loc_jy)
+            locs_x = locs_x + sel * up(x_prop - loc_jx)
+            fluxes = fluxes + sel * up(f_prop - f_j)
+            rate = rate + up(accept) * (rate_prop - rate)
             pll = pll + accept * (pll_prop - pll)
             lp = lp + accept * (lp_prop - lp)
             if has_child:
-                child_rate = child_rate + accept * (
+                child_rate = child_rate + up(accept) * (
                     child_rate_prop - child_rate
                 )
                 cll = cll + accept * (cll_prop - cll)
@@ -795,7 +845,7 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
             rate_ref[0],
             pll_ref[0],
             lp_ref[0],
-            jnp.zeros((1, P), jnp.float32),
+            jnp.zeros(S, jnp.float32),
             child_rate_ref[0] if has_child else jnp.zeros((1, 1)),
             cll_ref[0] if has_child else jnp.zeros((1, 1)),
         )
@@ -821,13 +871,13 @@ def _make_mala_kernel(H, W, M, P, num_iters, noise, psf_kind,
     static_argnames=("num_iters", "block", "noise", "psf_kind",
                      "flux_is_pareto", "flux_is_normal", "dims",
                      "child_axis", "side_from_tag", "variant",
-                     "wing_beta3"),
+                     "wing_beta3", "packed"),
 )
 def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
          pll, lp, child_rate=None, cll=None, slot_side=None, *, num_iters,
          block, noise, psf_kind, flux_is_pareto, flux_is_normal, dims,
          child_axis=None, side_from_tag=False, variant="mh",
-         wing_beta3=False):
+         wing_beta3=False, packed=False):
     T, CN, M, H, W = dims
     HW = H * W
     P = block
@@ -839,41 +889,93 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
                                  flux_is_pareto, flux_is_normal,
                                  child_axis=child_axis,
                                  side_from_tag=side_from_tag,
-                                 wing_beta3=wing_beta3)
+                                 wing_beta3=wing_beta3, packed=packed)
     else:
         kern = _make_kernel(H, W, M, P, num_iters, noise, psf_kind,
                             flux_is_pareto, flux_is_normal,
                             child_axis=child_axis,
                             side_from_tag=side_from_tag,
-                            wing_beta3=wing_beta3)
+                            wing_beta3=wing_beta3, packed=packed)
 
-    # lane-major reshapes: [T, CN, ...] -> [T*nb, rows, P]
-    def to_blocks(x, rows):
-        # x: [T, CN, rows] -> [T*nb, rows, P]
-        x = x.reshape(T, nb, P, rows).transpose(0, 1, 3, 2)
-        return x.reshape(T * nb, rows, P)
+    if packed:
+        # (sublane, lane)-packed layout: particle p in a block maps to
+        # (sub, lane) = (p // 128 % 8, p % 128); rows are the leading
+        # (untiled) dim, so particle-scalar math runs on full (8, 128)
+        # vregs (see _layout)
+        def to_blocks(x, rows):
+            # x: [T, CN, rows] -> [T*nb, rows, 8, 128]
+            x = x.reshape(T, nb, 8, 128, rows).transpose(0, 1, 4, 2, 3)
+            return x.reshape(T * nb, rows, 8, 128)
+
+        def scalar_blocks(x):
+            return x.reshape(T * nb, 8, 128)
+
+        images_b = images.reshape(T, HW, 1, 1)
+        scalar_spec = pl.BlockSpec(
+            (1, 8, 128), lambda t, b: (t * nb + b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        image_spec = pl.BlockSpec(
+            (1, HW, 1, 1), lambda t, b: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+        def row_spec(rows):
+            return pl.BlockSpec(
+                (1, rows, 8, 128), lambda t, b: (t * nb + b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        def row_struct(rows):
+            return jax.ShapeDtypeStruct(
+                (T * nb, rows, 8, 128), jnp.float32
+            )
+
+        scalar_struct = jax.ShapeDtypeStruct((T * nb, 8, 128), jnp.float32)
+    else:
+        # lane-major layout: [T, CN, ...] -> [T*nb, rows, P]
+        def to_blocks(x, rows):
+            x = x.reshape(T, nb, P, rows).transpose(0, 1, 3, 2)
+            return x.reshape(T * nb, rows, P)
+
+        def scalar_blocks(x):
+            return x.reshape(T * nb, 1, P)
+
+        images_b = images.reshape(T, HW, 1)
+        scalar_spec = pl.BlockSpec(
+            (1, 1, P), lambda t, b: (t * nb + b, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        image_spec = pl.BlockSpec(
+            (1, HW, 1), lambda t, b: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+        def row_spec(rows):
+            return pl.BlockSpec(
+                (1, rows, P), lambda t, b: (t * nb + b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        def row_struct(rows):
+            return jax.ShapeDtypeStruct((T * nb, rows, P), jnp.float32)
+
+        scalar_struct = jax.ShapeDtypeStruct((T * nb, 1, P), jnp.float32)
 
     locs_y = to_blocks(locs[..., 0], M)
     locs_x = to_blocks(locs[..., 1], M)
     fluxes_b = to_blocks(fluxes, M)
     rate_b = to_blocks(rate.reshape(T, CN, HW), HW)
-    counts_b = counts.reshape(T * nb, 1, P)
-    pll_b = pll.reshape(T * nb, 1, P)
-    lp_b = lp.reshape(T * nb, 1, P)
-    images_b = images.reshape(T, HW, 1)
+    counts_b = scalar_blocks(counts)
+    pll_b = scalar_blocks(pll)
+    lp_b = scalar_blocks(lp)
     if has_child:
         child_rate_b = to_blocks(child_rate.reshape(T, CN, HW), HW)
-        cll_b = cll.reshape(T * nb, 1, P)
+        cll_b = scalar_blocks(cll)
     if side_from_tag:
         slot_side_b = to_blocks(slot_side, M)
 
     grid = (T, nb)
-
-    def row_spec(rows):
-        return pl.BlockSpec(
-            (1, rows, P), lambda t, b: (t * nb + b, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
 
     out = pl.pallas_call(
         kern,
@@ -882,69 +984,38 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed [2]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params [32]
             pl.BlockSpec(memory_space=pltpu.SMEM),  # temperature [T]
-            pl.BlockSpec((1, HW, 1), lambda t, b: (t, 0, 0),
-                         memory_space=pltpu.VMEM),  # image
-            pl.BlockSpec((1, HW, 1), lambda t, b: (t, 0, 0),
-                         memory_space=pltpu.VMEM),  # lgamma(image+1)
-            pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
-                         memory_space=pltpu.VMEM),  # counts
+            image_spec,  # image
+            image_spec,  # lgamma(image+1)
+            scalar_spec,  # counts
             row_spec(M),
             row_spec(M),
             row_spec(M),
             row_spec(HW),
-            pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
-                         memory_space=pltpu.VMEM),  # pll
-            pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
-                         memory_space=pltpu.VMEM),  # lp
+            scalar_spec,  # pll
+            scalar_spec,  # lp
         ]
-        + (
-            [
-                row_spec(HW),  # child_rate
-                pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
-                             memory_space=pltpu.VMEM),  # cll
-            ]
-            if has_child
-            else []
-        )
+        + ([row_spec(HW), scalar_spec] if has_child else [])
         + ([row_spec(M)] if side_from_tag else []),  # slot_side
         out_specs=[
             row_spec(M),
             row_spec(M),
             row_spec(M),
             row_spec(HW),
-            pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            scalar_spec,
+            scalar_spec,
+            scalar_spec,
         ]
-        + (
-            [
-                row_spec(HW),
-                pl.BlockSpec((1, 1, P), lambda t, b: (t * nb + b, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ]
-            if has_child
-            else []
-        ),
+        + ([row_spec(HW), scalar_spec] if has_child else []),
         out_shape=[
-            jax.ShapeDtypeStruct((T * nb, M, P), jnp.float32),
-            jax.ShapeDtypeStruct((T * nb, M, P), jnp.float32),
-            jax.ShapeDtypeStruct((T * nb, M, P), jnp.float32),
-            jax.ShapeDtypeStruct((T * nb, HW, P), jnp.float32),
-            jax.ShapeDtypeStruct((T * nb, 1, P), jnp.float32),
-            jax.ShapeDtypeStruct((T * nb, 1, P), jnp.float32),
-            jax.ShapeDtypeStruct((T * nb, 1, P), jnp.float32),
+            row_struct(M),
+            row_struct(M),
+            row_struct(M),
+            row_struct(HW),
+            scalar_struct,
+            scalar_struct,
+            scalar_struct,
         ]
-        + (
-            [
-                jax.ShapeDtypeStruct((T * nb, HW, P), jnp.float32),
-                jax.ShapeDtypeStruct((T * nb, 1, P), jnp.float32),
-            ]
-            if has_child
-            else []
-        ),
+        + ([row_struct(HW), scalar_struct] if has_child else []),
     )(seed, params, temperature, images_b,
       jax.lax.lgamma(images_b + 1.0) if noise == "poisson"
       else jnp.zeros_like(images_b),
@@ -956,9 +1027,14 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
     if has_child:
         o_child_rate, o_cll = out[7:9]
 
-    def from_blocks(x, rows):
-        x = x.reshape(T, nb, rows, P).transpose(0, 1, 3, 2)
-        return x.reshape(T, CN, rows)
+    if packed:
+        def from_blocks(x, rows):
+            x = x.reshape(T, nb, rows, 8, 128).transpose(0, 1, 3, 4, 2)
+            return x.reshape(T, CN, rows)
+    else:
+        def from_blocks(x, rows):
+            x = x.reshape(T, nb, rows, P).transpose(0, 1, 3, 2)
+            return x.reshape(T, CN, rows)
 
     locs_out = jnp.stack(
         [from_blocks(o_ly, M), from_blocks(o_lx, M)], axis=-1
@@ -979,20 +1055,42 @@ def _run(seed, params, temperature, images, counts, locs, fluxes, rate,
 
 def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
                      parent_ll, logprior, child_rate=None, child_ll=None,
-                     block: int = 256, variant: str = "mh"):
+                     block: int = 256, variant: str = "mh",
+                     layout: str | None = None):
     """Run ``kernel.num_iters`` fused MH sweeps; returns
     ``(locs, fluxes, rate, parent_ll, logprior, accept_frac)``.
 
     Inputs are the ``[*G, N]`` batched particle arrays of the XLA path;
     each leading-batch group G carries one (broadcastable) image and
     temperature. See module docstring for supported targets.
+
+    ``layout`` selects the particle tiling (default: env
+    ``SMCDET_PALLAS_LAYOUT`` or "auto"):
+    - "packed": particle blocks of 1024 tile the (sublane, lane) axes —
+      per-update scalar math runs on full (8, 128) vregs (~1.4x
+      end-to-end, docs/PERF.md round-5 roofline); N is padded to a
+      multiple of 1024 with inert particles.
+    - "classic": 256-wide lane-major blocks (scalar rows at 1/8
+      sublane utilization) — no padding waste below N=1024.
+    - "auto": packed when N is already a multiple of 1024 (every
+      production config), classic otherwise.
     """
+    import os
+
     from smcdet_tpu.models.psf import SDSSPSF
 
     model = ctx.model
     prior = ctx.prior
     H, W = model.height, model.width
     batch = counts.shape
+    if layout is None:
+        layout = os.environ.get("SMCDET_PALLAS_LAYOUT", "auto")
+    if layout == "auto":
+        packed = batch[-1] >= 1024 and batch[-1] % 1024 == 0
+    else:
+        packed = layout == "packed"
+    if packed:
+        block = 8 * 128
     # flatten every leading batch axis into the "tile" grid dimension; the
     # per-group image/temperature are broadcast up front (tiny arrays)
     T = int(np.prod(batch[:-1], dtype=int)) if len(batch) > 1 else 1
@@ -1126,6 +1224,7 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
         dims=(T, CN + pad, M, H, W), child_axis=child_axis,
         side_from_tag=side_from_tag, variant=variant,
         wing_beta3=is_sdss and getattr(psf, "wing_beta3", False),
+        packed=packed,
     )
     locs_out, fluxes_out, rate_out, pll_out, lp_out, acc, crate_o, cll_o = o
     # strip padding, restore batch shape
@@ -1144,7 +1243,8 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
 
 def pallas_mala_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
                        parent_ll, logprior, child_rate=None,
-                       child_ll=None, block: int = 256):
+                       child_ll=None, block: int = 256,
+                       layout: str | None = None):
     """Run ``kernel.num_iters`` fused MALA sweeps (tile or bridge target).
 
     Same input/output contract as ``pallas_mh_sweeps``; ``kernel`` is a
@@ -1154,5 +1254,5 @@ def pallas_mala_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
     return pallas_mh_sweeps(
         key, ctx, kernel, counts, locs, fluxes, rate, parent_ll, logprior,
         child_rate=child_rate, child_ll=child_ll, block=block,
-        variant="mala",
+        variant="mala", layout=layout,
     )

@@ -73,6 +73,10 @@ class KernelConfig:
     fluxes_stdev: float = 5.0
     fluxes_min: float = 0.252
     fluxes_max: float = 1804.679
+    # jsm2024 parity: stop a mutation's sweeps early once the mean
+    # squared location jump per sweep drops below this (None = fixed
+    # num_iters; see inference/kernels._run_sweeps_early_stop)
+    sqjumpdist_tol: float | None = None
 
 
 @dataclass
@@ -234,6 +238,7 @@ def build_kernel(cfg: KernelConfig):
             fluxes_stdev=jnp.float32(cfg.fluxes_stdev),
             fluxes_min=jnp.float32(cfg.fluxes_min),
             fluxes_max=jnp.float32(cfg.fluxes_max),
+            sqjumpdist_tol=cfg.sqjumpdist_tol,
         )
     return cls(
         num_iters=cfg.num_iters,
@@ -241,6 +246,7 @@ def build_kernel(cfg: KernelConfig):
         fluxes_step=jnp.float32(cfg.fluxes_stdev),
         fluxes_min=jnp.float32(cfg.fluxes_min),
         fluxes_max=jnp.float32(cfg.fluxes_max),
+        sqjumpdist_tol=cfg.sqjumpdist_tol,
     )
 
 

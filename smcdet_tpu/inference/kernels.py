@@ -291,6 +291,16 @@ class SingleComponentMH:
     # "auto": fused Pallas sweep loop on TPU when the target supports it
     # (ops/pallas_sweep.py); "xla": always the lax.scan path below.
     backend: str = struct.field(pytree_node=False, default="auto")
+    # jsm2024 parity knob (reference normalfluxes_tiles_32x32/
+    # run_smc_mh.py:57-73: ``max_iters`` + ``sqjumpdist_tol``): stop
+    # sweeping early once the batch-mean squared location jump of a
+    # sweep falls below this tolerance, up to ``num_iters``. None
+    # (default) keeps the fixed-count scan. Early stopping requires the
+    # host-free ``lax.while_loop`` XLA path (the fused Pallas kernel
+    # runs its sweep loop on-core with a static trip count).
+    sqjumpdist_tol: float | None = struct.field(
+        pytree_node=False, default=None
+    )
 
     def sweep(self, key, ctx: TargetContext, counts, state: KernelState):
         locs, fluxes = state.locs, state.fluxes
@@ -426,6 +436,14 @@ class SingleComponentMH:
         through resampling instead of re-rendering every catalog."""
         locs, fluxes = state.locs, state.fluxes
 
+        if self.sqjumpdist_tol is not None:
+            if self.backend == "pallas":
+                raise NotImplementedError(
+                    "sqjumpdist_tol early stopping needs a data-dependent "
+                    "trip count — use backend='auto' or 'xla'"
+                )
+            return _run_sweeps_early_stop(self, key, ctx, counts, state)
+
         if self.backend != "xla":
             from smcdet_tpu.ops import pallas_sweep
 
@@ -466,6 +484,48 @@ class SingleComponentMH:
         (state, acc_n), _ = jax.lax.scan(body, (state, acc0), keys)
         acc_rate = (acc_n / self.num_iters).mean(-1)
         return state, acc_rate
+
+
+def _run_sweeps_early_stop(kernel, key, ctx: TargetContext, counts,
+                           state: KernelState):
+    """Sweep until the batch-mean squared location jump per sweep drops
+    below ``kernel.sqjumpdist_tol``, capped at ``kernel.num_iters``.
+
+    jsm2024 parity (reference normalfluxes_tiles_32x32/run_smc_mh.py:
+    57-73 constructs kernels with ``max_iters=100, sqjumpdist_tol=1e-2``;
+    the implementing ``smc.*`` package is absent from the reference repo,
+    so the convergence statistic is reconstructed from the name and the
+    tolerance scale: with ``locs_stdev=0.25`` an equilibrated sweep's
+    mean accepted squared loc-jump is a few 1e-2 px^2, decaying as chains
+    converge). Rejected proposals contribute zero jump, so the statistic
+    is acceptance-weighted mixing speed. Runs as a host-free
+    ``lax.while_loop`` — one extra subtraction per sweep; the trip count
+    becomes data-dependent, which is why the fused Pallas kernel (static
+    on-core trip count) does not serve this mode.
+    """
+    tol = jnp.float32(kernel.sqjumpdist_tol)
+
+    def cond(carry):
+        _, _, i, sqjd = carry
+        return (i < kernel.num_iters) & (sqjd >= tol)
+
+    def body(carry):
+        st, acc_n, i, _ = carry
+        st2, accept = kernel.sweep(
+            jax.random.fold_in(key, i), ctx, counts, st
+        )
+        sqjd = ((st2.locs - st.locs) ** 2).sum((-1, -2)).mean()
+        return (st2, acc_n + accept.astype(jnp.float32), i + 1, sqjd)
+
+    init = (
+        state,
+        jnp.zeros(counts.shape, dtype=jnp.float32),
+        jnp.int32(0),
+        jnp.float32(jnp.inf),
+    )
+    state, acc_n, iters, _ = jax.lax.while_loop(cond, body, init)
+    acc_rate = (acc_n / jnp.maximum(iters, 1).astype(jnp.float32)).mean(-1)
+    return state, acc_rate
 
 
 def relocate_sweeps(key, ctx: TargetContext, counts, state: KernelState,
@@ -874,6 +934,11 @@ class SingleComponentMALA:
     # when the target supports it (ops/pallas_sweep.pallas_mala_sweeps);
     # "xla": always the jax.grad lax.scan path below.
     backend: str = struct.field(pytree_node=False, default="auto")
+    # jsm2024 early-stop knob; see SingleComponentMH.sqjumpdist_tol
+    # (run_smc_mala.py:59-68 uses the same tolerances).
+    sqjumpdist_tol: float | None = struct.field(
+        pytree_node=False, default=None
+    )
 
     def _slot_target(self, ctx, base, active, loc, f, side=None):
         """Tempered log-target as a function of slot-j params only.
@@ -1027,6 +1092,14 @@ class SingleComponentMALA:
 
     def run_from_state(self, key, ctx: TargetContext, counts,
                        state: KernelState):
+        if self.sqjumpdist_tol is not None:
+            if self.backend == "pallas":
+                raise NotImplementedError(
+                    "sqjumpdist_tol early stopping needs a data-dependent "
+                    "trip count — use backend='auto' or 'xla'"
+                )
+            return _run_sweeps_early_stop(self, key, ctx, counts, state)
+
         if self.backend != "xla":
             from smcdet_tpu.ops import pallas_sweep
 

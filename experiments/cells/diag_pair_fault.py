@@ -78,6 +78,7 @@ def main():
         flux_detection_threshold=cfg.sampler.flux_detection_threshold,
         relocate_sweeps=cfg.sampler.relocate_sweeps,
         pair_sweeps=args.pair_sweeps,
+        dispatch_iters=cfg.sampler.dispatch_iters,
     )
     key = jax.random.fold_in(jax.random.key(cfg.seed), args.batch)
 

@@ -92,6 +92,10 @@ class SamplerConfig:
     # coordinated two-star pair-redistribute sweeps per mutation
     # (split-mode fix; kernels.pair_redistribute_sweeps)
     pair_sweeps: int = 0
+    # cap SMC iterations per device dispatch (None = one monolithic
+    # while_loop program). Set for heavy configs: this environment kills
+    # any single device program at ~200 s (SMCConfig.dispatch_iters)
+    dispatch_iters: int | None = None
     # independent CS-SMC(+aggregation) repetitions per image, pooled into
     # one particle set with log_z combined by log-mean-exp: sqrt(R)
     # variance reduction on the count pmf (the per-run logZ noise makes

@@ -52,6 +52,7 @@ __all__ = [
     "csmc_step",
     "csmc_finalize",
     "run_csmc",
+    "run_csmc_segmented",
     "run_csmc_chunked",
     "max_tiles_per_chunk",
     "pad_tiles",
@@ -100,6 +101,20 @@ class SMCConfig:
     # 0 disables (the reference has no analogue; its single-site kernel
     # simply mixes slowly there, kernel.py:7-130).
     pair_sweeps: int = struct.field(pytree_node=False, default=0)
+    # Bound every device program to at most this many SMC iterations per
+    # dispatch, chaining segments from the host (None = the whole
+    # temper->resample->mutate loop in ONE lax.while_loop dispatch).
+    # Motivation (round 5): this environment kills any single device
+    # program at ~200 s with "UNAVAILABLE: TPU device error" — measured
+    # with an innocent matmul fori_loop (experiments/
+    # probe_long_dispatch.py), which is what felled the cells_pair run
+    # at its 100-iteration batch (~190 s under the classic kernel
+    # layout). Heavy many-object configs should set this so each
+    # dispatch stays well under the limit; segments are bit-exact with
+    # the monolithic loop (tests/test_smc.py).
+    dispatch_iters: int | None = struct.field(
+        pytree_node=False, default=None
+    )
 
 
 class SMCState(NamedTuple):
@@ -479,6 +494,57 @@ def run_csmc(key, images, prior, model, kernel, cfg: SMCConfig) -> SMCResult:
     return csmc_finalize(prior, model, cfg, state)
 
 
+def _csmc_segment(images, prior, model, kernel, cfg: SMCConfig, state,
+                  iter_cap):
+    """One bounded stretch of the CS-SMC loop: step until converged or
+    ``state.iteration == iter_cap`` (dynamic), in one device program."""
+
+    def cond(s):
+        return jnp.any(s.temperature < 1.0) & (s.iteration < iter_cap)
+
+    return jax.lax.while_loop(
+        cond,
+        lambda s: csmc_step(images, prior, model, kernel, cfg, s),
+        state,
+    )
+
+
+_SEGMENT_JIT = jax.jit(_csmc_segment)
+_INIT_JIT = jax.jit(csmc_init)
+_FINALIZE_JIT = jax.jit(csmc_finalize)
+
+
+def run_csmc_segmented(key, images, prior, model, kernel,
+                       cfg: SMCConfig) -> SMCResult:
+    """``run_csmc`` with every device program bounded to
+    ``cfg.dispatch_iters`` SMC iterations, chained from the host.
+
+    Same signature and bit-identical results (the segment body is the
+    same ``csmc_step``; the state — particles, caches, PRNG key,
+    iteration — round-trips losslessly between dispatches). Exists
+    because this environment kills any single device program at ~200 s
+    ("UNAVAILABLE: TPU device error", measured with an innocent matmul
+    loop — experiments/probe_long_dispatch.py); heavy configs whose
+    monolithic while_loop would exceed that must be dispatched in
+    segments. Costs one small host fetch (the temperature array) per
+    segment.
+    """
+    seg = cfg.dispatch_iters or cfg.max_smc_iters
+    state = _INIT_JIT(key, images, prior, model, cfg)
+    done = 0
+    while done < cfg.max_smc_iters:
+        cap = min(done + seg, cfg.max_smc_iters)
+        state = jax.block_until_ready(
+            _SEGMENT_JIT(
+                images, prior, model, kernel, cfg, state, jnp.int32(cap)
+            )
+        )
+        done = cap
+        if not bool(jnp.any(state.temperature < 1.0)):
+            break
+    return _FINALIZE_JIT(prior, model, cfg, state)
+
+
 def max_tiles_per_chunk(
     prior, num_catalogs: int, tile_hw: int, budget_bytes: int = 12 * 2**30
 ) -> int:
@@ -630,6 +696,15 @@ def run_csmc_chunked(
     )
     if run is None:
         run = jax.jit(run_csmc)
+    if cfg.dispatch_iters is not None and multiple == 1:
+        # bounded-dispatch mode supersedes the caller's runner: each
+        # chunk is driven through host-chained segments (see
+        # run_csmc_segmented) instead of one monolithic device program.
+        # A plain callable has no ``.lower``, so chunk sizing falls back
+        # to the analytic estimate. Mesh runners (multiple > 1) keep
+        # their single-dispatch program — segmentation there would need
+        # a sharded segment jit; unsupported for now.
+        run = run_csmc_segmented
 
     def unsort(res: SMCResult) -> SMCResult:
         # restore the caller's tile order after a sort_tiles permutation
@@ -662,9 +737,14 @@ def run_csmc_chunked(
         return model.replace(background=bg_slice) if per_tile_bg else model
 
     if T <= chunk and T % multiple == 0 and not hasattr(run, "lower"):
-        # not inspectable: trust the analytic estimate and run whole
+        # not inspectable: trust the analytic estimate and run whole.
+        # fold_in(key, 0) matches the chunk loop's key for chunk 0 so
+        # results are key-identical whichever path a runner takes.
         return unsort(
-            run(key, images, prior, model_for(bg), kernel, cfg)
+            run(
+                jax.random.fold_in(key, 0),
+                images, prior, model_for(bg), kernel, cfg,
+            )
         )
 
     n_chunks = max(1, -(-T // chunk))

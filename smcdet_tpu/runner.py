@@ -265,6 +265,7 @@ def run_experiment(
             flux_detection_threshold=cfg.sampler.flux_detection_threshold,
             relocate_sweeps=cfg.sampler.relocate_sweeps,
             pair_sweeps=cfg.sampler.pair_sweeps,
+            dispatch_iters=cfg.sampler.dispatch_iters,
         )
         if cfg.aggregation.enabled:
             run = _make_smc_aggregate_runner(

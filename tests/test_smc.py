@@ -656,3 +656,79 @@ class TestShardedRaggedTiles:
         res = s.run(jax.random.key(0), devices=jax.devices())
         assert res.counts.shape[0] == 6
         np.testing.assert_allclose(np.asarray(res.temperature), 1.0)
+
+
+class TestSegmentedDispatch:
+    """Bounded-dispatch mode (SMCConfig.dispatch_iters): this environment
+    kills any single device program at ~200 s (UNAVAILABLE "TPU device
+    error", measured by experiments/probe_long_dispatch.py — the
+    cells_pair batch-7 "kernel fault" of round 4), so heavy configs chain
+    host-dispatched segments. Segments must be BIT-identical to the
+    monolithic while_loop: same csmc_step sequence, state round-trips
+    losslessly."""
+
+    def test_segmented_matches_monolithic_bitwise(self):
+        from smcdet_tpu.inference.smc import run_csmc_segmented
+
+        image, prior, model, kernel = two_star_image()
+        base = dict(
+            num_catalogs=128,
+            ess_threshold_prop=0.5,
+            resample_method="systematic",
+            max_smc_iters=50,
+            flux_detection_threshold=200.0,
+        )
+        mono = jax.block_until_ready(
+            jax.jit(run_csmc)(
+                jax.random.key(0), image[None], prior, model, kernel,
+                SMCConfig(**base),
+            )
+        )
+        seg = jax.block_until_ready(
+            run_csmc_segmented(
+                jax.random.key(0), image[None], prior, model, kernel,
+                SMCConfig(**base, dispatch_iters=3),
+            )
+        )
+        assert int(seg.num_iters) == int(mono.num_iters)
+        for f in ("pruned_counts", "pruned_locs", "pruned_fluxes",
+                  "log_normalizing_constant", "temperature", "ess",
+                  "weights"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(seg, f)),
+                np.asarray(getattr(mono, f)),
+                err_msg=f,
+            )
+
+    def test_chunked_picks_segmented_runner(self):
+        """run_csmc_chunked must honor cfg.dispatch_iters: results equal
+        the monolithic single-chunk run bitwise (same key path)."""
+        from smcdet_tpu.inference.smc import run_csmc_chunked
+
+        image, prior, model, kernel = two_star_image()
+        base = dict(
+            num_catalogs=128,
+            ess_threshold_prop=0.5,
+            resample_method="systematic",
+            max_smc_iters=50,
+            flux_detection_threshold=200.0,
+        )
+        key = jax.random.key(5)
+        mono = jax.block_until_ready(
+            run_csmc_chunked(
+                key, image[None], prior, model, kernel, SMCConfig(**base)
+            )
+        )
+        seg = jax.block_until_ready(
+            run_csmc_chunked(
+                key, image[None], prior, model, kernel,
+                SMCConfig(**base, dispatch_iters=5),
+            )
+        )
+        np.testing.assert_array_equal(
+            np.asarray(seg.pruned_counts), np.asarray(mono.pruned_counts)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(seg.log_normalizing_constant),
+            np.asarray(mono.log_normalizing_constant),
+        )

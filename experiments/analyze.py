@@ -84,6 +84,20 @@ def main():
     parser.add_argument("--mags-tol", type=float, default=0.5)
     parser.add_argument("--bootstrap", type=int, default=1000)
     parser.add_argument("--no-figures", action="store_true")
+    parser.add_argument(
+        "--tiles",
+        default=None,
+        help="override the truth-tiles artifact (default: "
+        "<results_dir>/tiles.npz); e.g. the scatter-free tiles_exact.npz "
+        "variant — the estimator results are reused, only the truth "
+        "changes",
+    )
+    parser.add_argument(
+        "--out-suffix",
+        default="",
+        help="suffix for the analysis JSON / figure dir so a truth-variant "
+        "analysis does not overwrite the main one",
+    )
     args = parser.parse_args()
 
     import os
@@ -110,7 +124,7 @@ def main():
 
     out_dir = Path(args.results_dir)
     res = load_results(out_dir, args.method)
-    tiles_path = out_dir / "tiles.npz"
+    tiles_path = Path(args.tiles) if args.tiles else out_dir / "tiles.npz"
     if not tiles_path.exists():
         raise FileNotFoundError(
             f"{tiles_path} missing — run generate_images.py (or prepare_data)"
@@ -303,7 +317,10 @@ def main():
             # per-method figure dir so a baseline analysis (--method mcmc)
             # doesn't overwrite the smc figures
             out_dir
-            / ("figures" if args.method == "smc" else f"figures_{args.method}"),
+            / (
+                ("figures" if args.method == "smc" else f"figures_{args.method}")
+                + args.out_suffix
+            ),
             mag_bins=args.mag_bins,
             smc_ci=smc_ci,
             sep_ci=sep_ci,
@@ -319,7 +336,9 @@ def main():
         report["figures"] = fig_names
 
     print(json.dumps(report, indent=2))
-    with open(out_dir / f"{args.method}_analysis.json", "w") as f:
+    with open(
+        out_dir / f"{args.method}_analysis{args.out_suffix}.json", "w"
+    ) as f:
         json.dump(report, f, indent=2)
 
 

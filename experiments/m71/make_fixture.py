@@ -222,6 +222,13 @@ def main():
         "comparison against the well-specified fixture isolates the "
         "PSF effect)",
     )
+    parser.add_argument(
+        "--no-giants",
+        action="store_true",
+        help="omit the 4 saturated giants (same seed => every other star "
+        "identical), isolating the masked giants' wing photons from the "
+        "m71 coverage residual (VERDICT r4 task 7)",
+    )
     args = parser.parse_args()
     rng = np.random.default_rng(args.seed)
     psf_render = psf_eval_factory(args.psf_misspec)
@@ -257,11 +264,16 @@ def main():
     g_flux = np.exp(
         rng.uniform(np.log(2600.0), np.log(20000.0), n_giants)
     )  # mag ~ 11.7 .. 14.0
-    reg = (
-        np.concatenate([reg[0], g_rows]),
-        np.concatenate([reg[1], g_cols]),
-        np.concatenate([reg[2], g_flux]),
-    )
+    # --no-giants ablation (VERDICT r4 task 7): the giant draws above are
+    # still consumed so the rest of the rng stream — and therefore every
+    # other star — is bit-identical to the default fixture; only the
+    # giants' photons (and the saturation masking they trigger) differ.
+    if not args.no_giants:
+        reg = (
+            np.concatenate([reg[0], g_rows]),
+            np.concatenate([reg[1], g_cols]),
+            np.concatenate([reg[2], g_flux]),
+        )
     # pad ring around the region so tiles at the region boundary see
     # neighbour photons exactly like interior ones (pad = 4 px)
     ring = []
@@ -406,6 +418,15 @@ def main():
         )
         np.savetxt(f, table, fmt="%.8f")
 
+    # exact generating star list (frame pixel coords, nmgy): lets
+    # prepare_data.py emit a scatter-free truth variant (tiles_exact.npz)
+    # that isolates the Hubble-catalog astrometric/photometric scatter +
+    # WCS round-trip from the coverage residual. The real archive offers
+    # no analogue — this is fixture-only instrumentation.
+    np.savez_compressed(
+        m71_dir / "truth_stars.npz", rows=rows, cols=cols, fluxes=fluxes
+    )
+
     # ground-truth generator record (for fit-recovery checks)
     import yaml
 
@@ -422,6 +443,7 @@ def main():
                 "noise_additive": NOISE_ADD,
                 "sky_counts": SKY_COUNTS,
                 "seed": args.seed,
+                "no_giants": bool(args.no_giants),
                 "psf_misspec": args.psf_misspec,
                 "psf_misspec_params": (
                     {"q": ELL_Q, "theta_deg": 30.0}

@@ -40,6 +40,7 @@ HUBBLE_URL = (
     "hlsp_acsggct_hst_acs-wfc_ngc6838_r.rdviq.cal.adj.zpt"
 )
 SATURATION_ADU = 60000.0
+PAD, REACH = 4.0, 9.0  # padded-window / render-reach half-widths (px)
 # Hubble-catalog depth cut (m71.ipynb cell 15: mag < 24), which also sets
 # the flux-prior support floor via the truncated-Pareto fit.
 MAG_UPPER_BOUND = 24.0
@@ -121,27 +122,118 @@ def main():
     checker = ((grid_h + grid_w) % 2 == 0).reshape(-1)
     saturated_px = tiles_flat.max((-2, -1)) > SATURATION_ADU
 
-    in_region = (
-        (locs_all[:, 0] >= REGION_Y0)
-        & (locs_all[:, 0] < REGION_Y0 + REGION_H)
-        & (locs_all[:, 1] >= REGION_X0)
-        & (locs_all[:, 1] < REGION_X0 + REGION_W)
-    )
-    locs_region = locs_all[in_region] - [REGION_Y0, REGION_X0]
-    fluxes_region = fluxes_all[in_region]
+    def tile_truth_catalogs(cat_locs_all, cat_fluxes_all):
+        """Per-tile truth/padded/reach catalogs from a full-frame star
+        list (frame pixel coords + nmgy fluxes). Factored so the same
+        tiling runs on both the Hubble-catalog cross-match truth and —
+        when the fixture ships its exact generating star list
+        (truth_stars.npz) — the scatter-free truth, isolating the WCS
+        cross-match term of the coverage residual (VERDICT r4 task 7)."""
+        in_region = (
+            (cat_locs_all[:, 0] >= REGION_Y0)
+            & (cat_locs_all[:, 0] < REGION_Y0 + REGION_H)
+            & (cat_locs_all[:, 1] >= REGION_X0)
+            & (cat_locs_all[:, 1] < REGION_X0 + REGION_W)
+        )
+        locs_region = cat_locs_all[in_region] - [REGION_Y0, REGION_X0]
+        fluxes_region = cat_fluxes_all[in_region]
 
-    # per-tile truth catalogs (in-tile coords)
-    max_per_tile = 32
-    true_counts = np.zeros(th * tw, dtype=np.int64)
-    true_locs = np.zeros((th * tw, max_per_tile, 2))
-    true_fluxes = np.zeros((th * tw, max_per_tile))
-    for i, (r, c) in enumerate(zip(locs_region[:, 0], locs_region[:, 1])):
-        t = int(r // TILE) * tw + int(c // TILE)
-        m = true_counts[t]
-        if m < max_per_tile:
-            true_locs[t, m] = (r % TILE, c % TILE)
-            true_fluxes[t, m] = fluxes_region[i]
-            true_counts[t] += 1
+        # per-tile truth catalogs (in-tile coords)
+        max_per_tile = 32
+        true_counts = np.zeros(th * tw, dtype=np.int64)
+        true_locs = np.zeros((th * tw, max_per_tile, 2))
+        true_fluxes = np.zeros((th * tw, max_per_tile))
+        for i, (r, c) in enumerate(
+            zip(locs_region[:, 0], locs_region[:, 1])
+        ):
+            t = int(r // TILE) * tw + int(c // TILE)
+            m = true_counts[t]
+            if m < max_per_tile:
+                true_locs[t, m] = (r % TILE, c % TILE)
+                true_fluxes[t, m] = fluxes_region[i]
+                true_counts[t] += 1
+
+        # per-tile padded-region catalogs: every star within the tile's
+        # padded window [-pad, TILE+pad)^2 in padded-local coords — the
+        # "unpruned" per-tile catalogs the reference's semisynthetic
+        # experiment renders (m71.ipynb cells 19-23 ->
+        # m71semisynthetic/generate_images.py:26-27).
+        pad = PAD
+        max_padded = 64
+        padded_counts = np.zeros(th * tw, dtype=np.int64)
+        padded_locs = np.zeros((th * tw, max_padded, 2))
+        padded_fluxes = np.zeros((th * tw, max_padded))
+        # render-reach catalogs: every catalog star whose radius-8 render
+        # patch can deposit photons into the tile (window [-9, 17) around
+        # the tile, a strict superset of the padded window). Stars 4-8 px
+        # outside a tile are OUTSIDE the padded window but still light it
+        # up — the m71 pixels carry their photons while the padded-catalog
+        # semisynthetic render does not, which is one candidate cause of
+        # the real-pixels coverage gap (the m71ss_reach ablation measures
+        # it). Uses the full-frame catalog, not locs_region: for
+        # region-boundary tiles the neighbors can sit outside the region.
+        reach = REACH
+        max_reach = 96
+        locs_frame = cat_locs_all - [REGION_Y0, REGION_X0]
+        reach_counts = np.zeros(th * tw, dtype=np.int64)
+        reach_locs = np.zeros((th * tw, max_reach, 2))
+        reach_fluxes = np.zeros((th * tw, max_reach))
+        for t in range(th * tw):
+            ty, tx = (t // tw) * TILE, (t % tw) * TILE
+            rel = locs_region - [ty, tx]
+            in_pad = (
+                (rel[:, 0] >= -pad)
+                & (rel[:, 0] < TILE + pad)
+                & (rel[:, 1] >= -pad)
+                & (rel[:, 1] < TILE + pad)
+            )
+            sel = np.flatnonzero(in_pad)[:max_padded]
+            padded_counts[t] = sel.size
+            padded_locs[t, : sel.size] = rel[sel]
+            padded_fluxes[t, : sel.size] = fluxes_region[sel]
+
+            rel_f = locs_frame - [ty, tx]
+            in_reach = (
+                (rel_f[:, 0] >= -reach)
+                & (rel_f[:, 0] < TILE + reach)
+                & (rel_f[:, 1] >= -reach)
+                & (rel_f[:, 1] < TILE + reach)
+            )
+            sel_r = np.flatnonzero(in_reach)
+            if sel_r.size > max_reach:
+                raise RuntimeError(
+                    f"tile {t}: {sel_r.size} stars in render reach "
+                    f"exceeds the {max_reach}-slot reach catalog — "
+                    "raise max_reach"
+                )
+            reach_counts[t] = sel_r.size
+            reach_locs[t, : sel_r.size] = rel_f[sel_r]
+            reach_fluxes[t, : sel_r.size] = cat_fluxes_all[sel_r]
+
+        return {
+            "true_counts": true_counts,
+            "true_locs": true_locs,
+            "true_fluxes": true_fluxes,
+            "padded_counts": padded_counts,
+            "padded_locs": padded_locs,
+            "padded_fluxes": padded_fluxes,
+            "reach_counts": reach_counts,
+            "reach_locs": reach_locs,
+            "reach_fluxes": reach_fluxes,
+        }, locs_region, fluxes_region
+
+    cat, locs_region, fluxes_region = tile_truth_catalogs(
+        locs_all, fluxes_all
+    )
+    true_counts = cat["true_counts"]
+    true_locs = cat["true_locs"]
+    true_fluxes = cat["true_fluxes"]
+    padded_counts = cat["padded_counts"]
+    padded_locs = cat["padded_locs"]
+    padded_fluxes = cat["padded_fluxes"]
+    reach_counts = cat["reach_counts"]
+    reach_locs = cat["reach_locs"]
+    reach_fluxes = cat["reach_fluxes"]
 
     # Saturation masking (m71.ipynb cells 21-23): a tile is saturated iff
     # its truth catalog holds a star brighter than mag 14 (the SDSS
@@ -165,61 +257,6 @@ def main():
         f"{int(saturated_px.sum())} pixel-saturated -> "
         f"{int(dil.sum())} with neighbors; {int(keep.sum())} of {th * tw} kept"
     )
-
-    # per-tile padded-region catalogs: every star within the tile's padded
-    # window [-pad, TILE+pad)^2 in padded-local coords — the "unpruned"
-    # per-tile catalogs the reference's semisynthetic experiment renders
-    # (m71.ipynb cells 19-23 -> m71semisynthetic/generate_images.py:26-27).
-    pad = 4.0
-    max_padded = 64
-    padded_counts = np.zeros(th * tw, dtype=np.int64)
-    padded_locs = np.zeros((th * tw, max_padded, 2))
-    padded_fluxes = np.zeros((th * tw, max_padded))
-    # render-reach catalogs: every catalog star whose radius-8 render
-    # patch can deposit photons into the tile (window [-9, 17) around the
-    # tile, a strict superset of the padded window). Stars 4-8 px outside
-    # a tile are OUTSIDE the padded window but still light it up — the
-    # m71 pixels carry their photons while the padded-catalog
-    # semisynthetic render does not, which is one candidate cause of the
-    # real-pixels coverage gap (the m71ss_reach ablation measures it).
-    # Uses locs_all (the full-frame catalog), not locs_region: for
-    # region-boundary tiles the neighbors can sit outside the region.
-    reach = 9.0
-    max_reach = 96
-    locs_frame = locs_all - [REGION_Y0, REGION_X0]
-    reach_counts = np.zeros(th * tw, dtype=np.int64)
-    reach_locs = np.zeros((th * tw, max_reach, 2))
-    reach_fluxes = np.zeros((th * tw, max_reach))
-    for t in range(th * tw):
-        ty, tx = (t // tw) * TILE, (t % tw) * TILE
-        rel = locs_region - [ty, tx]
-        in_pad = (
-            (rel[:, 0] >= -pad)
-            & (rel[:, 0] < TILE + pad)
-            & (rel[:, 1] >= -pad)
-            & (rel[:, 1] < TILE + pad)
-        )
-        sel = np.flatnonzero(in_pad)[:max_padded]
-        padded_counts[t] = sel.size
-        padded_locs[t, : sel.size] = rel[sel]
-        padded_fluxes[t, : sel.size] = fluxes_region[sel]
-
-        rel_f = locs_frame - [ty, tx]
-        in_reach = (
-            (rel_f[:, 0] >= -reach)
-            & (rel_f[:, 0] < TILE + reach)
-            & (rel_f[:, 1] >= -reach)
-            & (rel_f[:, 1] < TILE + reach)
-        )
-        sel_r = np.flatnonzero(in_reach)
-        if sel_r.size > max_reach:
-            raise RuntimeError(
-                f"tile {t}: {sel_r.size} stars in render reach exceeds "
-                f"the {max_reach}-slot reach catalog — raise max_reach"
-            )
-        reach_counts[t] = sel_r.size
-        reach_locs[t, : sel_r.size] = rel_f[sel_r]
-        reach_fluxes[t, : sel_r.size] = fluxes_all[sel_r]
 
     # The catalog-based saturation mask only sees in-region stars; a
     # mag<14 giant just OUTSIDE the region boundary would render into a
@@ -314,12 +351,39 @@ def main():
         reach_fluxes=reach_fluxes[keep],
         tile_index=np.flatnonzero(keep),
     )
+
+    # Scatter-free truth variant: when the offline fixture ships its
+    # exact generating star list (make_fixture.py writes
+    # truth_stars.npz; the real archive has no such thing), emit a
+    # second tiles artifact whose truth catalogs bypass the Hubble-zpt
+    # parse + WCS round-trip + astrometric/photometric scatter. Same
+    # images, keep mask, and split — analyzing the SAME smc results
+    # against it (analyze.py --tiles) measures the WCS cross-match term
+    # of the coverage residual with no extra inference run.
+    truth_path = m71_dir / "truth_stars.npz"
+    if truth_path.exists():
+        ts = np.load(truth_path)
+        exact_locs = np.stack([ts["rows"], ts["cols"]], axis=-1)
+        exact, _, _ = tile_truth_catalogs(
+            exact_locs, np.asarray(ts["fluxes"])
+        )
+        np.savez_compressed(
+            m71_dir / "tiles_exact.npz",
+            images=tiles_flat[keep],
+            background=region_bkg.reshape(th, TILE, tw, TILE)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, TILE, TILE)[keep],
+            checkerboard=checker[keep],
+            tile_index=np.flatnonzero(keep),
+            **{k: v[keep] for k, v in exact.items()},
+        )
+        print(f"wrote {m71_dir / 'tiles_exact.npz'} (scatter-free truth)")
     params = {
         "flux_alpha": alpha,
         "flux_lower": f_lower,
         "flux_upper": f_upper,
         "counts_rate": counts_rate,
-        "pad": pad,
+        "pad": PAD,
         "psf_radius": 8,
         "background": float(np.mean(region_bkg)),
         "gain": gain,

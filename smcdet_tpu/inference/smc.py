@@ -509,7 +509,10 @@ def _csmc_segment(images, prior, model, kernel, cfg: SMCConfig, state,
     )
 
 
-_SEGMENT_JIT = jax.jit(_csmc_segment)
+# donate the incoming state (arg 5): the caller always rebinds it to the
+# segment's result, and without donation the boundary briefly holds two
+# full particle states (the dominant live allocation) on device
+_SEGMENT_JIT = jax.jit(_csmc_segment, donate_argnums=5)
 _INIT_JIT = jax.jit(csmc_init)
 _FINALIZE_JIT = jax.jit(csmc_finalize)
 

@@ -36,6 +36,10 @@ def main():
     )
     parser.add_argument("--seeds", type=int, nargs="+", default=[5, 6, 7])
     parser.add_argument(
+        "--backends", nargs="+", default=["xla", "pallas"],
+        help="subset for smoke tests (the pallas arm needs a TPU)",
+    )
+    parser.add_argument(
         "--out", default=str(REPO / "docs/results/bridge_q50_curve.json")
     )
     args = parser.parse_args()
@@ -47,7 +51,10 @@ def main():
     from test_pallas import TestFusedSweepOnTPU
 
     from smcdet_tpu.inference.aggregate import _side_mask_fn
-    from smcdet_tpu.inference.kernels import SingleComponentMALA
+    from smcdet_tpu.inference.kernels import (
+        SingleComponentMALA,
+        init_kernel_state,
+    )
 
     helper = TestFusedSweepOnTPU()
     kernel_mh, ctx, counts, locs, fluxes, model, prior, images = (
@@ -71,10 +78,16 @@ def main():
         ).ravel()
 
     quantiles = (10, 25, 50, 75, 90)
+    # Chain sweeps in bounded blocks through run_from_state (caches carry
+    # across blocks, so k blocks of B sweeps == one kB-sweep run up to
+    # the PRNG key schedule): this environment kills any single device
+    # program at ~200 s (experiments/probe_long_dispatch.py), which a
+    # 6400-sweep XLA dispatch would exceed.
+    BLOCK = 800
     rungs = []
     for sweeps in args.sweeps:
         kx = SingleComponentMALA(
-            num_iters=sweeps,
+            num_iters=min(sweeps, BLOCK),
             locs_step=jnp.float32(0.12),
             fluxes_step=jnp.float32(2.0),
             fluxes_min=kernel_mh.fluxes_min,
@@ -82,16 +95,28 @@ def main():
             backend="xla",
         )
         kp = kx.replace(backend="pallas")
+        n_blocks = -(-sweeps // BLOCK)
         per_backend = {}
-        for name, k in (("xla", kx), ("pallas", kp)):
-            run = jax.jit(lambda key, l, f, k=k: k.run(key, ctx, counts, l, f))
+        arms = [a for a in (("xla", kx), ("pallas", kp))
+                if a[0] in args.backends]
+        for name, k in arms:
+            run_block = jax.jit(
+                lambda key, st, k=k: k.run_from_state(key, ctx, counts, st)
+            )
             qs, accs = [], []
             t0 = time.time()
             for seed in args.seeds:
-                st, acc = run(jax.random.key(seed), locs, fluxes)
+                st = init_kernel_state(ctx, counts, locs, fluxes)
+                acc_blocks = []
+                for b in range(n_blocks):
+                    st, acc = run_block(
+                        jax.random.fold_in(jax.random.key(seed), b), st
+                    )
+                    st = jax.block_until_ready(st)
+                    acc_blocks.append(float(np.asarray(acc).mean()))
                 lt = bridge_target(st)
                 qs.append([float(np.percentile(lt, q)) for q in quantiles])
-                accs.append(float(np.asarray(acc).mean()))
+                accs.append(float(np.mean(acc_blocks)))
             qs = np.asarray(qs)  # [seeds, quantiles]
             per_backend[name] = {
                 "q_mean": qs.mean(0).tolist(),
@@ -99,42 +124,47 @@ def main():
                 "acc_mean": float(np.mean(accs)),
                 "wall_s": round(time.time() - t0, 1),
             }
-        gap = [
-            abs(a - b)
-            for a, b in zip(
-                per_backend["xla"]["q_mean"], per_backend["pallas"]["q_mean"]
-            )
-        ]
         rung = {
             "sweeps": sweeps,
             "quantiles": list(quantiles),
-            "backend_gap_nats": [round(g, 2) for g in gap],
-            "xla": per_backend["xla"],
-            "pallas": per_backend["pallas"],
+            **per_backend,
         }
+        if len(per_backend) == 2:
+            gap = [
+                abs(a - b)
+                for a, b in zip(
+                    per_backend["xla"]["q_mean"],
+                    per_backend["pallas"]["q_mean"],
+                )
+            ]
+            rung["backend_gap_nats"] = [round(g, 2) for g in gap]
+            print(
+                f"sweeps={sweeps}: gap(q10..q90)="
+                f"{[round(g, 1) for g in gap]} xla_spread="
+                f"{[round(s, 1) for s in per_backend['xla']['q_spread']]} "
+                f"pallas_spread="
+                f"{[round(s, 1) for s in per_backend['pallas']['q_spread']]}",
+                flush=True,
+            )
+        else:
+            print(f"sweeps={sweeps}: {json.dumps(per_backend)}", flush=True)
         rungs.append(rung)
-        print(
-            f"sweeps={sweeps}: gap(q10..q90)="
-            f"{[round(g, 1) for g in gap]} "
-            f"xla_spread={[round(s, 1) for s in per_backend['xla']['q_spread']]} "
-            f"pallas_spread="
-            f"{[round(s, 1) for s in per_backend['pallas']['q_spread']]}",
-            flush=True,
-        )
 
     # Verdict: warm-up attribution holds iff the q50 backend gap at the
     # longest rung is within the same-backend seed spread there.
+    verdict = None
     last = rungs[-1]
-    i50 = list(quantiles).index(50)
-    spread = max(
-        last["xla"]["q_spread"][i50], last["pallas"]["q_spread"][i50]
-    )
-    gap50 = last["backend_gap_nats"][i50]
-    verdict = {
-        "q50_gap_at_longest_rung_nats": gap50,
-        "max_seed_spread_there_nats": round(spread, 2),
-        "warmup_attribution_confirmed": bool(gap50 <= max(spread, 5.0)),
-    }
+    if "backend_gap_nats" in last:
+        i50 = list(quantiles).index(50)
+        spread = max(
+            last["xla"]["q_spread"][i50], last["pallas"]["q_spread"][i50]
+        )
+        gap50 = last["backend_gap_nats"][i50]
+        verdict = {
+            "q50_gap_at_longest_rung_nats": gap50,
+            "max_seed_spread_there_nats": round(spread, 2),
+            "warmup_attribution_confirmed": bool(gap50 <= max(spread, 5.0)),
+        }
     out = {
         "platform": jax.devices()[0].platform,
         "seeds": args.seeds,

@@ -491,20 +491,29 @@ class TestFusedMALAOnTPU:
         assert float(accp.mean()) > 0.05
         assert abs(float(accp.mean()) - float(accx.mean())) < 0.02
 
-        # equilibrated-bulk bridge-target quantiles agree. Only the
-        # upper bulk is compared: on the tau=0.5 bridge target the
-        # population's lower half is still warm-up-dominated at 800
-        # sweeps — the XLA chain's own seed-to-seed q50 spread is 110
-        # nats (tag) / 198 nats (legacy), which swallowed the round-4
-        # on-chip backend gap of ~95 nats — while q75/q90 are
-        # seed-reproducible to <0.6 nats (measured over seeds 5-9 on
-        # CPU; threefry makes the XLA arm platform-independent).
+        # equilibrated bridge-target quantiles agree everywhere EXCEPT
+        # q50, which the round-5 sweeps curve
+        # (docs/results/bridge_q50_curve.json, on-chip, 3 seeds,
+        # 800-6400 sweeps) showed is not a usable backend statistic at
+        # ANY length: the per-backend seed-to-seed q50 spread GROWS
+        # with sweeps (69 -> 200 nats as chains wander between the
+        # target's modes) and the cross-backend gap stays well inside
+        # one spread at every rung (26/45/11/33 nats) with no trend —
+        # i.e. no systematic bias, just a multimodal plateau. The
+        # tails ARE tight at 800 sweeps: cross-backend gap <= 1.4 nats
+        # at q10/q25 and <= 0.8 at q75/q90 across all rungs, so the
+        # lower-tail coverage dropped in round 4 is restored here with
+        # a 25-nat bound (3x the worst measured spread at those
+        # quantiles).
         def lt(st):
             return np.asarray(
                 st.logprior + 0.5 * st.parent_ll + 0.5 * st.child_ll
             ).ravel()
 
         ltx, ltp = lt(stx), lt(stp)
+        for q in (10, 25):
+            a, b = np.percentile(ltx, q), np.percentile(ltp, q)
+            assert abs(a - b) <= 25.0, (q, a, b)
         for q in (75, 90):
             a, b = np.percentile(ltx, q), np.percentile(ltp, q)
             assert abs(a - b) <= 0.05 * abs(a) + 5.0, (q, a, b)

@@ -99,6 +99,15 @@ def main():
         "analysis does not overwrite the main one",
     )
     args = parser.parse_args()
+    if args.tiles and not args.out_suffix:
+        # a truth-variant analysis must never silently overwrite the
+        # primary <method>_analysis.json that every queue/compare script
+        # reads — derive a suffix from the variant artifact's name
+        args.out_suffix = "_" + Path(args.tiles).stem.removeprefix("tiles_")
+        print(
+            f"--tiles given without --out-suffix: writing with derived "
+            f"suffix {args.out_suffix!r} to protect the primary analysis"
+        )
 
     import os
 

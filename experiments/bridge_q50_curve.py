@@ -96,6 +96,10 @@ def main():
         )
         kp = kx.replace(backend="pallas")
         n_blocks = -(-sweeps // BLOCK)
+        # a rung > BLOCK executes n_blocks * BLOCK sweeps; label it with
+        # the EXECUTED count so the curve's x-axis is never mislabeled
+        # for a requested value that isn't a multiple of BLOCK
+        sweeps = n_blocks * min(sweeps, BLOCK)
         per_backend = {}
         arms = [a for a in (("xla", kx), ("pallas", kp))
                 if a[0] in args.backends]

@@ -202,12 +202,21 @@ def main():
             kind, args.streams, args.interpret
         )
     # the log chain carries one glue add per step: refund it at R_fma
-    # (an add is half an fma's 2 counted flops)
-    t_log = 1.0 / rates["log"] - 1.0 / rates["fma"]
-    rates["log"] = 1.0 / max(t_log, 1e-15)
-    # same for rsqrt (one glue add per step)
-    t_rsqrt = 1.0 / rates["rsqrt"] - 1.0 / rates["fma"]
-    rates["rsqrt"] = 1.0 / max(t_rsqrt, 1e-15)
+    # (an add is half an fma's 2 counted flops). A non-positive refunded
+    # time means the differenced timings are noise (e.g. interpret/CPU
+    # smoke mode) — fail loudly rather than emit a ~1e15 op/s "rate"
+    # that silently corrupts the ceiling and MFU.
+    for kind in ("log", "rsqrt"):
+        t_k = 1.0 / rates[kind] - 1.0 / rates["fma"]
+        if t_k <= 0:
+            raise RuntimeError(
+                f"roofline measurement invalid: refunded {kind} time "
+                f"<= 0 (R_{kind}={rates[kind]:.3g}, "
+                f"R_fma={rates['fma']:.3g}) — the microbench timings "
+                "are too noisy to separate the glue add; rerun (longer "
+                "--streams) or don't trust this platform's numbers"
+            )
+        rates[kind] = 1.0 / t_k
 
     measured = args.updates_per_s
     t_fma = FLOPS_PER_UPDATE / rates["fma"]
@@ -244,11 +253,18 @@ def main():
         "utilization_vs_overlap": round(measured / ceiling_max, 3),
         "fma_share_of_no_overlap_bound": round(t_fma / t_sum, 3),
     }
-    out = Path(__file__).resolve().parents[1] / "docs" / "results"
-    out.mkdir(parents=True, exist_ok=True)
-    with open(out / "roofline.json", "w") as f:
+    if platform == "tpu":
+        out = Path(__file__).resolve().parents[1] / "docs" / "results"
+        out.mkdir(parents=True, exist_ok=True)
+        path = out / "roofline.json"
+    else:
+        # CPU/interpret smoke runs must never clobber the committed
+        # on-chip numbers that PERF.md's MFU section cites
+        path = Path("/tmp/roofline_smoke.json")
+    with open(path, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":

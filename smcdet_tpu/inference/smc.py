@@ -28,6 +28,7 @@ Key architectural changes vs the reference:
 
 from __future__ import annotations
 
+import warnings
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -518,7 +519,7 @@ _FINALIZE_JIT = jax.jit(csmc_finalize)
 
 
 def run_csmc_segmented(key, images, prior, model, kernel,
-                       cfg: SMCConfig) -> SMCResult:
+                       cfg: SMCConfig, *, _segment=None) -> SMCResult:
     """``run_csmc`` with every device program bounded to
     ``cfg.dispatch_iters`` SMC iterations, chained from the host.
 
@@ -533,12 +534,13 @@ def run_csmc_segmented(key, images, prior, model, kernel,
     segment.
     """
     seg = cfg.dispatch_iters or cfg.max_smc_iters
+    seg_fn = _segment if _segment is not None else _SEGMENT_JIT
     state = _INIT_JIT(key, images, prior, model, cfg)
     done = 0
     while done < cfg.max_smc_iters:
         cap = min(done + seg, cfg.max_smc_iters)
         state = jax.block_until_ready(
-            _SEGMENT_JIT(
+            seg_fn(
                 images, prior, model, kernel, cfg, state, jnp.int32(cap)
             )
         )
@@ -699,15 +701,26 @@ def run_csmc_chunked(
     )
     if run is None:
         run = jax.jit(run_csmc)
-    if cfg.dispatch_iters is not None and multiple == 1:
-        # bounded-dispatch mode supersedes the caller's runner: each
-        # chunk is driven through host-chained segments (see
-        # run_csmc_segmented) instead of one monolithic device program.
-        # A plain callable has no ``.lower``, so chunk sizing falls back
-        # to the analytic estimate. Mesh runners (multiple > 1) keep
-        # their single-dispatch program — segmentation there would need
-        # a sharded segment jit; unsupported for now.
-        run = run_csmc_segmented
+    if cfg.dispatch_iters is not None:
+        if multiple > 1:
+            # Mesh runners keep their single-dispatch program —
+            # segmentation there would need a sharded segment jit;
+            # unsupported for now. Be loud: the user set the knob
+            # specifically to dodge the ~200 s dispatch kill limit.
+            warnings.warn(
+                "SMCConfig.dispatch_iters is not supported with a mesh "
+                "runner (multiple > 1) and is being IGNORED — chunks run "
+                "as single device programs subject to the ~200 s "
+                "dispatch kill limit (docs/PERF.md).",
+                stacklevel=2,
+            )
+        else:
+            # bounded-dispatch mode supersedes the caller's runner: each
+            # chunk is driven through host-chained segments (see
+            # run_csmc_segmented) instead of one monolithic device
+            # program. Chunk sizing below AOT-probes the SEGMENT
+            # program itself (same state, same step body).
+            run = run_csmc_segmented
 
     def unsort(res: SMCResult) -> SMCResult:
         # restore the caller's tile order after a sort_tiles permutation
@@ -739,10 +752,17 @@ def run_csmc_chunked(
     def model_for(bg_slice):
         return model.replace(background=bg_slice) if per_tile_bg else model
 
-    if T <= chunk and T % multiple == 0 and not hasattr(run, "lower"):
+    if (
+        T <= chunk
+        and T % multiple == 0
+        and not hasattr(run, "lower")
+        and run is not run_csmc_segmented
+    ):
         # not inspectable: trust the analytic estimate and run whole.
         # fold_in(key, 0) matches the chunk loop's key for chunk 0 so
         # results are key-identical whichever path a runner takes.
+        # (The segmented runner IS sizable — its segment jit is probed
+        # below — so it does not take this early exit.)
         return unsort(
             run(
                 jax.random.fold_in(key, 0),
@@ -760,7 +780,8 @@ def run_csmc_chunked(
     # analytic model got wrong historically. The probe is padded to
     # ``size`` so the lowered shape matches the padded chunks fed later.
     exec_run = run
-    if hasattr(run, "lower"):
+    segmented = run is run_csmc_segmented
+    if hasattr(run, "lower") or segmented:
         cache_key = (
             id(run),
             size,
@@ -780,15 +801,25 @@ def run_csmc_chunked(
         if hit is not None:
             exec_run, size = hit[0], hit[1]
         else:
+
+            def lower_at(size):
+                imgs = pad_tiles(images, size)
+                mdl = model_for(pad_tiles(bg, size) if per_tile_bg else None)
+                if segmented:
+                    # probe the SEGMENT program — the exact executable
+                    # the host-chained loop dispatches — via abstract
+                    # state from eval_shape (no device init needed)
+                    state = jax.eval_shape(
+                        csmc_init, key, imgs, prior, mdl, cfg
+                    )
+                    return _SEGMENT_JIT.lower(
+                        imgs, prior, mdl, kernel, cfg, state,
+                        jax.ShapeDtypeStruct((), jnp.int32),
+                    )
+                return run.lower(key, imgs, prior, mdl, kernel, cfg)
+
             while True:
-                compiled = run.lower(
-                    key,
-                    pad_tiles(images, size),
-                    prior,
-                    model_for(pad_tiles(bg, size) if per_tile_bg else None),
-                    kernel,
-                    cfg,
-                ).compile()
+                compiled = lower_at(size).compile()
                 live = compiled_live_bytes(compiled)
                 if live is None or live <= budget_bytes or size <= multiple:
                     break
@@ -796,8 +827,13 @@ def run_csmc_chunked(
                 if half == size:
                     break
                 size = half
-            exec_run = compiled
-            _CHUNK_AOT_CACHE[cache_key] = (compiled, size, run)
+            if segmented:
+                # reuse the probed executable for the real dispatches so
+                # the probe costs no extra compilation
+                exec_run = partial(run_csmc_segmented, _segment=compiled)
+            else:
+                exec_run = compiled
+            _CHUNK_AOT_CACHE[cache_key] = (exec_run, size, run)
 
     n_chunks = -(-T // size)
     # pad the tile axis so every chunk has the same shape: a smaller last
@@ -857,6 +893,7 @@ class SMCSampler:
         print_every=0,
         relocate_sweeps=0,
         pair_sweeps=0,
+        dispatch_iters=None,
     ):
         self.image = jnp.asarray(image, dtype=jnp.float32)
         self.image_height, self.image_width = self.image.shape
@@ -878,6 +915,7 @@ class SMCSampler:
             print_every=print_every,
             relocate_sweeps=relocate_sweeps,
             pair_sweeps=pair_sweeps,
+            dispatch_iters=dispatch_iters,
         )
         self.result: SMCResult | None = None
 

@@ -1085,6 +1085,13 @@ def pallas_mh_sweeps(key, ctx, kernel, counts, locs, fluxes, rate,
     batch = counts.shape
     if layout is None:
         layout = os.environ.get("SMCDET_PALLAS_LAYOUT", "auto")
+    if layout not in ("auto", "packed", "classic"):
+        # a typo'd env var silently running the ~1.8x-slower classic
+        # layout would be invisible; fail loudly instead
+        raise ValueError(
+            f"SMCDET_PALLAS_LAYOUT/layout must be 'auto', 'packed' or "
+            f"'classic', got {layout!r}"
+        )
     if layout == "auto":
         packed = batch[-1] >= 1024 and batch[-1] % 1024 == 0
     else:

@@ -134,6 +134,7 @@ def _make_smc_aggregate_runner(cfg, prior, model, kernel, smc_cfg):
                 max_smc_iters=smc_cfg.max_smc_iters,
                 relocate_sweeps=smc_cfg.relocate_sweeps,
                 pair_sweeps=smc_cfg.pair_sweeps,
+                dispatch_iters=smc_cfg.dispatch_iters,
             )
             sampler.run(k_smc)
             agg = Aggregate.from_smc(

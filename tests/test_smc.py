@@ -732,3 +732,45 @@ class TestSegmentedDispatch:
             np.asarray(seg.log_normalizing_constant),
             np.asarray(mono.log_normalizing_constant),
         )
+
+    def test_sampler_forwards_dispatch_iters(self):
+        """SMCSampler (the per-image/aggregation pipeline's entry) must
+        forward dispatch_iters into its SMCConfig — a heavy aggregation
+        config that sets the knob and silently runs monolithic dispatches
+        would die at the ~200 s kill limit anyway."""
+        image, prior, model, kernel = two_star_image()
+        s = SMCSampler(
+            image=image,
+            tile_dim=image.shape[0],
+            Prior=prior,
+            ImageModel=model,
+            MutationKernel=kernel,
+            num_catalogs=64,
+            dispatch_iters=7,
+        )
+        assert s.config.dispatch_iters == 7
+
+    def test_mesh_runner_warns_dispatch_iters_ignored(self):
+        """dispatch_iters + a mesh runner (multiple > 1) is unsupported:
+        the combination must warn loudly, not silently drop the knob."""
+        import warnings as _w
+
+        from smcdet_tpu.inference.smc import run_csmc_chunked
+
+        image, prior, model, kernel = two_star_image()
+        cfg = SMCConfig(
+            num_catalogs=64,
+            max_smc_iters=10,
+            flux_detection_threshold=200.0,
+            dispatch_iters=3,
+        )
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            run_csmc_chunked(
+                jax.random.key(0),
+                jnp.stack([image, image]),
+                prior, model, kernel, cfg,
+                run=jax.jit(run_csmc),
+                multiple=2,
+            )
+        assert any("dispatch_iters" in str(w.message) for w in caught)

@@ -100,14 +100,20 @@ def main():
     )
     args = parser.parse_args()
     if args.tiles and not args.out_suffix:
-        # a truth-variant analysis must never silently overwrite the
-        # primary <method>_analysis.json that every queue/compare script
-        # reads — derive a suffix from the variant artifact's name
-        args.out_suffix = "_" + Path(args.tiles).stem.removeprefix("tiles_")
-        print(
-            f"--tiles given without --out-suffix: writing with derived "
-            f"suffix {args.out_suffix!r} to protect the primary analysis"
-        )
+        stem = Path(args.tiles).stem
+        if stem != "tiles":
+            # a truth-VARIANT analysis must never silently overwrite the
+            # primary <method>_analysis.json that every queue/compare
+            # script reads — derive a suffix from the artifact name.
+            # Pointing --tiles at a primary "tiles.npz" (e.g. a variant
+            # run whose truth lives under data_<variant>/m71/) IS the
+            # primary analysis and keeps the unsuffixed name.
+            args.out_suffix = "_" + stem.removeprefix("tiles_")
+            print(
+                f"--tiles given without --out-suffix: writing with "
+                f"derived suffix {args.out_suffix!r} to protect the "
+                f"primary analysis"
+            )
 
     import os
 

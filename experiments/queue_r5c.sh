@@ -44,7 +44,8 @@ run_stage m71_seed2_smc 7200 experiments/m71 \
   python run_smc.py --config config_seed2.yaml \
   || exit 1
 run_stage m71_seed2_analyze 2400 experiments/m71 \
-  python ../analyze.py output/m71_seed2 --method smc --no-figures
+  python ../analyze.py output/m71_seed2 --method smc --no-figures \
+  --tiles data_seed2/m71/tiles.npz
 run_stage m71_seed2_analyze_exact 2400 experiments/m71 \
   python ../analyze.py output/m71_seed2 --method smc \
   --tiles data_seed2/m71/tiles_exact.npz --no-figures
